@@ -1,0 +1,141 @@
+"""Counting / GROUP BY parity tests — kmer-tests.sql TESTs 12-13."""
+
+import collections
+
+import jax.numpy as jnp
+import numpy as np
+
+from kmer_tpu import PackedKmers, generate_kmers
+from kmer_tpu.ops.count import (
+    count_column,
+    count_dna,
+    count_kmers_jit,
+    count_packed,
+    merge_tables,
+)
+from kmer_tpu.ops.extract import extract_to_strings, simulate_reads
+
+
+class TestCountBasics:
+    def test_count_over_generate(self):
+        # TEST 12.1: COUNT over generate_kmers('ACGTACGT', 4) = 5
+        table = count_dna("ACGTACGT", 4)
+        assert table.total() == 5
+
+    def test_group_by_small(self):
+        # TEST 13.1: groups {tacg:1, acgt:2, cgta:1, gtac:1}
+        table = count_dna("ACGTACGT", 4)
+        assert table.to_dict() == {"tacg": 1, "acgt": 2, "cgta": 1, "gtac": 1}
+        assert table.distinct() == 4
+
+    def test_groups_sorted_ascending(self):
+        table = count_dna("ACGTACGT", 4).trim()
+        keys = list(
+            PackedKmers(hi=table.hi, lo=table.lo, length=table.length).to_strings()
+        )
+        assert keys == sorted(keys)
+
+    def test_matches_python_counter(self):
+        rng = np.random.default_rng(7)
+        for k in [1, 3, 7, 16, 21, 32]:
+            seq = "".join(rng.choice(list("acgt"), size=100))
+            want = collections.Counter(extract_to_strings(seq, k))
+            got = count_dna(seq, k).to_dict()
+            assert got == dict(want), k
+
+
+class TestCountColumn:
+    def test_mixed_length_group_by(self):
+        # GROUP BY over a kmer column with mixed lengths (TEST 13.2 shape)
+        strs = ["acga", "acg", "acga", "", "t" * 32, "acg", "acga", ""]
+        col = PackedKmers.from_strings(strs)
+        table = count_column(
+            PackedKmers(
+                hi=jnp.asarray(col.hi),
+                lo=jnp.asarray(col.lo),
+                length=jnp.asarray(col.length),
+            )
+        )
+        assert table.to_dict() == {"acga": 3, "acg": 2, "": 2, "t" * 32: 1}
+
+    def test_empty_vs_a_distinct(self):
+        # '' and 'a' share packed bits; length disambiguates
+        col = PackedKmers.from_strings(["", "a", "a", ""])
+        table = count_column(
+            PackedKmers(
+                hi=jnp.asarray(col.hi),
+                lo=jnp.asarray(col.lo),
+                length=jnp.asarray(col.length),
+            )
+        )
+        assert table.to_dict() == {"": 2, "a": 2}
+
+
+class TestWeightsAndMerge:
+    def test_zero_weight_slots_absent(self):
+        col = PackedKmers.from_strings(["acga", "acg", "tttt"])
+        w = jnp.asarray([2, 0, 5], jnp.int32)
+        table = count_packed(
+            jnp.asarray(col.hi), jnp.asarray(col.lo), jnp.asarray(col.length), w
+        )
+        assert table.to_dict() == {"acga": 2, "tttt": 5}
+
+    def test_merge_tables(self):
+        a = count_dna("ACGTACGT", 4)
+        b = count_dna("ACGTACGA", 4)
+        merged = merge_tables(a, b)
+        want = collections.Counter(extract_to_strings("ACGTACGT", 4))
+        want.update(collections.Counter(extract_to_strings("ACGTACGA", 4)))
+        assert merged.to_dict() == dict(want)
+
+    def test_merge_associative(self):
+        seqs = ["ACGTACGTAC", "TTGCAACGTT", "GGGGGGGGGG"]
+        tables = [count_dna(s, 3) for s in seqs]
+        left = merge_tables(merge_tables(tables[0], tables[1]), tables[2])
+        right = merge_tables(tables[0], merge_tables(tables[1], tables[2]))
+        assert left.to_dict() == right.to_dict()
+
+
+class TestBatchedReads:
+    def test_count_reads_vs_counter(self):
+        reads = simulate_reads(num_reads=64, read_len=40, seed=3)
+        lengths = np.full(64, 40, np.int32)
+        k = 5
+        table = count_kmers_jit(jnp.asarray(reads), jnp.asarray(lengths), k, False)
+        want = collections.Counter()
+        from kmer_tpu.codec import decode_codes
+
+        for row in reads:
+            s = decode_codes(row)
+            want.update(extract_to_strings(s, k))
+        assert table.to_dict() == dict(want)
+        assert table.total() == 64 * (40 - k + 1)
+
+    def test_canonical_counts(self):
+        reads = simulate_reads(num_reads=16, read_len=30, seed=5)
+        lengths = np.full(16, 30, np.int32)
+        k = 7
+        table = count_kmers_jit(jnp.asarray(reads), jnp.asarray(lengths), k, True)
+        from kmer_tpu.codec import decode_codes
+
+        comp = {"a": "t", "c": "g", "g": "c", "t": "a"}
+        want = collections.Counter()
+        for row in reads:
+            s = decode_codes(row)
+            for km in extract_to_strings(s, k):
+                rc = "".join(comp[c] for c in reversed(km))
+                want[min(km, rc)] += 1
+        assert table.to_dict() == dict(want)
+
+    def test_ragged_lengths(self):
+        reads = simulate_reads(num_reads=8, read_len=20, seed=9)
+        lengths = np.array([20, 5, 7, 20, 12, 4, 19, 20], np.int32)
+        k = 4
+        table = count_kmers_jit(jnp.asarray(reads), jnp.asarray(lengths), k, False)
+        from kmer_tpu.codec import decode_codes
+
+        want = collections.Counter()
+        for row, ln in zip(reads, lengths):
+            s = decode_codes(row[:ln])
+            want.update(extract_to_strings(s, k))
+        assert table.to_dict() == dict(want)

@@ -1,0 +1,160 @@
+"""Index tests — TEST 14's property: index results == scan results.
+
+The reference demonstrates seq-scan vs SP-GiST index-scan equivalence on
+100k random rows (kmer-tests.sql:1296-1353); here the oracle is the
+vectorized scan path (itself pinned to the reference by the predicate
+tests), checked against the sorted radix index on data shaped like
+data_generator.py output.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_tpu import Kmer, KmerIndex, PackedKmers, Qkmer
+from kmer_tpu.index import device_sort_column, searchsorted_packed
+from kmer_tpu.io import generate_test_rows
+from kmer_tpu.ops.predicates import (
+    contains,
+    equals,
+    qkmer_mask_vector,
+    starts_with_op,
+    v_contains,
+    v_equals,
+    v_starts_with,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rows = generate_test_rows(n_rows=1500, seed=11)
+    kmers = [r[1].lower() for r in rows]
+    # sprinkle edge cases the random generator can't produce
+    kmers += ["", "a", "acga", "acga", "acgattac", "t" * 32, "a" * 32]
+    col = PackedKmers.from_strings(kmers)
+    return kmers, col, KmerIndex.build(col)
+
+
+def scan_eq(kmers, q):
+    return np.array([i for i, s in enumerate(kmers) if equals(s, q)], dtype=np.int64)
+
+
+def scan_prefix(kmers, p):
+    return np.array(
+        [i for i, s in enumerate(kmers) if starts_with_op(s, p)], dtype=np.int64
+    )
+
+
+def scan_pattern(kmers, q):
+    return np.array([i for i, s in enumerate(kmers) if contains(q, s)], dtype=np.int64)
+
+
+class TestIndexEquivalence:
+    def test_eq(self, dataset):
+        kmers, col, idx = dataset
+        for q in ["acga", "", "a", "t" * 32, "acgattac", "gggg"]:
+            assert (idx.search_eq(q) == scan_eq(kmers, q)).all(), q
+
+    def test_eq_existing_keys_sample(self, dataset):
+        kmers, col, idx = dataset
+        for q in kmers[::97]:
+            got = idx.search_eq(q)
+            assert (got == scan_eq(kmers, q)).all(), q
+            assert len(got) >= 1
+
+    def test_prefix(self, dataset):
+        kmers, col, idx = dataset
+        for p in ["", "a", "ac", "acga", "ttttt", "t" * 32, "g" * 10]:
+            assert (idx.search_prefix(p) == scan_prefix(kmers, p)).all(), p
+
+    def test_prefix_all_t_upper_bound(self, dataset):
+        # all-t prefix exercises the 2^64 range-overflow branch
+        kmers, col, idx = dataset
+        for p in ["t", "tt", "t" * 31]:
+            assert (idx.search_prefix(p) == scan_prefix(kmers, p)).all(), p
+
+    def test_pattern(self, dataset):
+        kmers, col, idx = dataset
+        pats = ["angry", "nnnn", "acgan", "r", "n", "wsbd", "acga", "t" * 32, "u" * 4]
+        for q in pats:
+            assert (idx.search_pattern(q) == scan_pattern(kmers, q)).all(), q
+
+    def test_pattern_fully_degenerate_leading(self, dataset):
+        # 'nnn...' defeats prefix pruning -> full-range masked compare
+        kmers, col, idx = dataset
+        for q in ["nacg", "nnra", "nnnnnnnnnn"]:
+            assert (idx.search_pattern(q) == scan_pattern(kmers, q)).all(), q
+
+
+class TestScanPathEquivalence:
+    """The vectorized scan path agrees with the scalar oracle on the dataset."""
+
+    def _jcol(self, col):
+        return PackedKmers(
+            hi=jnp.asarray(col.hi), lo=jnp.asarray(col.lo), length=jnp.asarray(col.length)
+        )
+
+    def test_v_equals(self, dataset):
+        kmers, col, _ = dataset
+        jcol = self._jcol(col)
+        q = PackedKmers.single(Kmer("acga"))
+        got = np.flatnonzero(
+            np.asarray(
+                v_equals(
+                    jcol,
+                    PackedKmers(
+                        hi=jnp.uint32(q.hi[0]),
+                        lo=jnp.uint32(q.lo[0]),
+                        length=jnp.int32(q.length[0]),
+                    ),
+                )
+            )
+        )
+        assert (got == scan_eq(kmers, "acga")).all()
+
+    def test_v_contains_pattern(self, dataset):
+        kmers, col, _ = dataset
+        jcol = self._jcol(col)
+        masks, qlen = qkmer_mask_vector("angry")
+        got = np.flatnonzero(np.asarray(v_contains(jcol, jnp.asarray(masks), qlen)))
+        assert (got == scan_pattern(kmers, "angry")).all()
+
+
+class TestDeviceIndex:
+    def test_device_sort_matches_host(self, dataset):
+        kmers, col, idx = dataset
+        jcol = PackedKmers(
+            hi=jnp.asarray(col.hi), lo=jnp.asarray(col.lo), length=jnp.asarray(col.length)
+        )
+        sorted_col, rid = device_sort_column(jcol)
+        from kmer_tpu.codec import join_key64
+
+        dev_keys = join_key64(np.asarray(sorted_col.hi), np.asarray(sorted_col.lo))
+        assert (dev_keys == idx.sorted_keys).all()
+        assert (np.asarray(sorted_col.length) == idx.sorted_lens).all()
+
+    def test_searchsorted_packed(self, dataset):
+        kmers, col, idx = dataset
+        jcol = PackedKmers(
+            hi=jnp.asarray(col.hi), lo=jnp.asarray(col.lo), length=jnp.asarray(col.length)
+        )
+        sorted_col, _ = device_sort_column(jcol)
+        queries = ["acga", "", "a", "t" * 32, "zzz-not-real"[:0] or "gg", "ca"]
+        qcol = PackedKmers.from_strings(queries)
+        left = np.asarray(
+            searchsorted_packed(
+                sorted_col.hi, sorted_col.lo, sorted_col.length,
+                jnp.asarray(qcol.hi), jnp.asarray(qcol.lo), jnp.asarray(qcol.length),
+                side="left",
+            )
+        )
+        right = np.asarray(
+            searchsorted_packed(
+                sorted_col.hi, sorted_col.lo, sorted_col.length,
+                jnp.asarray(qcol.hi), jnp.asarray(qcol.lo), jnp.asarray(qcol.length),
+                side="right",
+            )
+        )
+        for i, q in enumerate(queries):
+            want = len(scan_eq(kmers, q))
+            assert right[i] - left[i] == want, q
