@@ -1,0 +1,197 @@
+"""Command-line interface.
+
+The reference is driven through psql; the engine's operational surface
+is this CLI (SURVEY.md §7 step 7):
+
+  python -m kmer_tpu datagen  --rows 1000 --out data.csv
+  python -m kmer_tpu count    --input data.csv -k 8 [--canonical] [--top 10]
+  python -m kmer_tpu extract  --dna ACGTACGT -k 3
+  python -m kmer_tpu query    --input data.csv --eq acga | --prefix ac | --pattern angry
+  python -m kmer_tpu bench    [--reads 100000 --read-len 150 -k 21]
+  python -m kmer_tpu selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if os.environ.get("KMER_TPU_FORCE_CPU") == "1":
+    # Env-level JAX_PLATFORMS can be overridden by a sitecustomize that
+    # registers a hardware backend; pin the platform at the config level.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _cmd_datagen(args) -> int:
+    from .io.datagen import generate_test_rows, rows_to_csv
+
+    rows = generate_test_rows(args.rows, seed=args.seed)
+    rows_to_csv(rows, args.out)
+    print(f"wrote {len(rows)} rows to {args.out}")
+    return 0
+
+
+def _cmd_extract(args) -> int:
+    from .ops.extract import generate_kmers
+
+    for km in generate_kmers(args.dna, args.k):
+        print(str(km))
+    return 0
+
+
+def _cmd_count(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .api import KmerTable
+    from .codec import MAX_K, strings_to_padded_codes
+    from .ops.count import count_kmers_jit
+    from .utils.logging import StatsCounters, get_logger
+
+    log = get_logger()
+    stats = StatsCounters()
+    if args.from_dna_column:
+        table = KmerTable.from_csv(args.input)
+        seqs = [str(d) for d in table.dna]
+        codes, lengths = strings_to_padded_codes(seqs)
+        result = count_kmers_jit(
+            jnp.asarray(codes), jnp.asarray(lengths), args.k, args.canonical
+        )
+        stats.record_batch(
+            len(seqs), int(lengths.sum()), result.total(), result.distinct()
+        )
+    else:
+        table = KmerTable.from_csv(args.input)
+        result = table.group_by_kmer()
+        stats.record_batch(len(table), 0, result.total(), result.distinct())
+    log.info("stats %s", stats.to_json())
+    items = sorted(result.to_dict().items(), key=lambda kv: (-kv[1], kv[0]))
+    top = items[: args.top] if args.top else items
+    for kmer, count in top:
+        print(f"{kmer}\t{count}")
+    print(f"# {result.distinct()} distinct, {result.total()} total", file=sys.stderr)
+    if args.save:
+        from .utils.checkpoint import save_table
+
+        save_table(result, args.save, {"k": args.k, "canonical": args.canonical})
+        log.info("saved table to %s", args.save)
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from .api import KmerTable
+
+    table = KmerTable.from_csv(args.input)
+    if args.index:
+        table.create_index()
+    if args.eq is not None:
+        ids = table.where_eq(args.eq)
+    elif args.prefix is not None:
+        ids = table.where_prefix(args.prefix)
+    elif args.pattern is not None:
+        ids = table.where_pattern(args.pattern)
+    else:
+        print("one of --eq/--prefix/--pattern required", file=sys.stderr)
+        return 2
+    for row in table.rows(ids):
+        print(",".join(row))
+    print(f"# {len(ids)} rows", file=sys.stderr)
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from .bench import run_bench
+
+    result = run_bench(
+        n_reads=args.reads, read_len=args.read_len, k=args.k,
+        canonical=not args.no_canonical,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def _cmd_selftest(args) -> int:
+    """Quick end-to-end smoke covering every subsystem on small data."""
+    from . import (
+        Kmer,
+        KmerIndex,
+        PackedKmers,
+        contains,
+        count_dna,
+        equals,
+        generate_kmers,
+        starts_with_op,
+    )
+
+    t0 = time.time()
+    assert [str(k) for k in generate_kmers("ACGTACGT", 3)] == [
+        "acg", "cgt", "gta", "tac", "acg", "cgt",
+    ]
+    assert count_dna("ACGTACGT", 4).to_dict() == {
+        "acgt": 2, "cgta": 1, "gtac": 1, "tacg": 1,
+    }
+    assert equals("ACGT", "acgt") and starts_with_op("acgt", "ac")
+    assert contains("RCGT", "ACGT") and not contains("U", "A")
+    idx = KmerIndex.build(PackedKmers.from_strings(["acga", "acgt", "acga"]))
+    assert idx.search_eq("acga").tolist() == [0, 2]
+    print(f"selftest ok in {time.time() - t0:.2f}s")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kmer_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("datagen", help="generate random test rows (data_generator.py shape)")
+    g.add_argument("--rows", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_datagen)
+
+    e = sub.add_parser("extract", help="generate_kmers over a dna literal")
+    e.add_argument("--dna", required=True)
+    e.add_argument("-k", type=int, required=True)
+    e.set_defaults(fn=_cmd_extract)
+
+    c = sub.add_parser("count", help="GROUP BY counts over a CSV")
+    c.add_argument("--input", required=True)
+    c.add_argument("-k", type=int, default=8)
+    c.add_argument("--canonical", action="store_true")
+    c.add_argument("--top", type=int, default=0)
+    c.add_argument("--save", default=None, help="save table snapshot (.npz)")
+    c.add_argument(
+        "--from-dna-column",
+        action="store_true",
+        help="extract k-mers from the dna column instead of grouping the kmer column",
+    )
+    c.set_defaults(fn=_cmd_count)
+
+    q = sub.add_parser("query", help="filter rows by kmer predicate")
+    q.add_argument("--input", required=True)
+    q.add_argument("--index", action="store_true", help="build + use the radix index")
+    q.add_argument("--eq")
+    q.add_argument("--prefix")
+    q.add_argument("--pattern")
+    q.set_defaults(fn=_cmd_query)
+
+    b = sub.add_parser("bench", help="throughput benchmark (single chip)")
+    b.add_argument("--reads", type=int, default=1 << 20)
+    b.add_argument("--read-len", type=int, default=150)
+    b.add_argument("-k", type=int, default=21)
+    b.add_argument("--no-canonical", action="store_true")
+    b.set_defaults(fn=_cmd_bench)
+
+    s = sub.add_parser("selftest", help="end-to-end smoke test")
+    s.set_defaults(fn=_cmd_selftest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,155 @@
+"""KmerTable facade + CLI + utils tests (TEST 12-14 workload shapes)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kmer_tpu.api import KmerTable
+from kmer_tpu.io import generate_test_rows
+from kmer_tpu.io.datagen import rows_to_csv
+
+
+@pytest.fixture(scope="module")
+def table():
+    rows = generate_test_rows(800, seed=21)
+    rows += [("acgt", "acga", "nn"), ("acgt", "acga", "rr"), ("ac", "acgat", "n")]
+    return KmerTable.from_rows(rows)
+
+
+class TestKmerTable:
+    def test_count(self, table):
+        assert table.count() == 803
+
+    def test_scan_vs_index_equivalence(self, table):
+        # TEST 14: identical row sets with and without index
+        queries_eq = ["acga", "acgat", "tttt", ""]
+        queries_prefix = ["", "a", "acga", "t" * 10]
+        queries_pattern = ["angry", "nnnn", "r", "acgan"]
+        scan = {
+            "eq": {q: set(table.scan_eq(q)) for q in queries_eq},
+            "prefix": {q: set(table.scan_prefix(q)) for q in queries_prefix},
+            "pattern": {q: set(table.scan_pattern(q)) for q in queries_pattern},
+        }
+        table.create_index()
+        try:
+            for q in queries_eq:
+                assert set(table.where_eq(q)) == scan["eq"][q], ("eq", q)
+            for q in queries_prefix:
+                assert set(table.where_prefix(q)) == scan["prefix"][q], ("prefix", q)
+            for q in queries_pattern:
+                assert set(table.where_pattern(q)) == scan["pattern"][q], ("pat", q)
+        finally:
+            table.drop_index()
+
+    def test_group_by_total(self, table):
+        gb = table.group_by_kmer()
+        assert gb.total() == len(table)
+        assert gb.to_dict()["acga"] >= 2
+
+    def test_csv_roundtrip(self, table, tmp_path):
+        rows = generate_test_rows(50, seed=33)
+        path = str(tmp_path / "rows.csv")
+        rows_to_csv(rows, path)
+        t2 = KmerTable.from_csv(path)
+        assert len(t2) == 50
+        assert [str(d) for d in t2.dna] == [r[0].lower() for r in rows]
+
+
+class TestCheckpoint:
+    def test_table_roundtrip(self, tmp_path):
+        from kmer_tpu.ops.count import count_dna
+        from kmer_tpu.utils.checkpoint import load_table, save_table
+
+        t = count_dna("ACGTACGTACGT", 4)
+        path = str(tmp_path / "t.npz")
+        save_table(t, path, {"k": 4})
+        t2, meta = load_table(path)
+        assert meta["k"] == 4
+        assert t2.to_dict() == t.to_dict()
+
+    def test_index_roundtrip(self, tmp_path):
+        from kmer_tpu import KmerIndex, PackedKmers
+        from kmer_tpu.utils.checkpoint import load_index, save_index
+
+        idx = KmerIndex.build(PackedKmers.from_strings(["acga", "tt", "acga"]))
+        path = str(tmp_path / "i.npz")
+        save_index(idx, path)
+        idx2, _ = load_index(path)
+        assert (idx2.search_eq("acga") == idx.search_eq("acga")).all()
+
+    def test_resumable_count(self, tmp_path):
+        import jax.numpy as jnp
+
+        from kmer_tpu.ops.count import count_kmers_jit
+        from kmer_tpu.ops.extract import simulate_reads
+        from kmer_tpu.utils.checkpoint import ResumableCount
+
+        reads = simulate_reads(32, 20, seed=1)
+        lengths = np.full(32, 20, np.int32)
+        k = 6
+        shards = [(reads[i : i + 8], lengths[i : i + 8]) for i in range(0, 32, 8)]
+        path = str(tmp_path / "resume.npz")
+
+        rc = ResumableCount(path)
+        for i, (r, l) in enumerate(shards[:2]):
+            assert rc.should_process(i)
+            rc.update(i, count_kmers_jit(jnp.asarray(r), jnp.asarray(l), k, False))
+        rc.checkpoint()
+
+        # "restart": a new ResumableCount resumes after shard 2
+        rc2 = ResumableCount(path)
+        assert not rc2.should_process(0) and not rc2.should_process(1)
+        for i, (r, l) in enumerate(shards):
+            if rc2.should_process(i):
+                rc2.update(i, count_kmers_jit(jnp.asarray(r), jnp.asarray(l), k, False))
+
+        full = count_kmers_jit(jnp.asarray(reads), jnp.asarray(lengths), k, False)
+        assert rc2.table.to_dict() == full.to_dict()
+
+
+class TestCli:
+    def _run(self, *args, cwd="/root/repo"):
+        return subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", *args],
+            capture_output=True, text=True, cwd=cwd, timeout=300,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+                "KMER_TPU_FORCE_CPU": "1",
+            },
+        )
+
+    def test_extract_cli(self):
+        r = self._run("extract", "--dna", "ACGTACGT", "-k", "3")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.split() == ["acg", "cgt", "gta", "tac", "acg", "cgt"]
+
+    def test_datagen_count_query_cli(self, tmp_path):
+        csv = str(tmp_path / "d.csv")
+        r = self._run("datagen", "--rows", "60", "--out", csv)
+        assert r.returncode == 0, r.stderr
+        r = self._run("count", "--input", csv, "--top", "5")
+        assert r.returncode == 0, r.stderr
+        assert len(r.stdout.strip().splitlines()) <= 5
+        r = self._run("query", "--input", csv, "--prefix", "a", "--index")
+        assert r.returncode == 0, r.stderr
+
+    def test_selftest_cli(self):
+        r = self._run("selftest")
+        assert r.returncode == 0, r.stderr
+        assert "selftest ok" in r.stdout
+
+
+class TestStats:
+    def test_counters(self):
+        from kmer_tpu.utils.logging import StatsCounters
+
+        s = StatsCounters()
+        s.record_batch(10, 1500, 1300, 900)
+        s.record_batch(10, 1500, 1300, 1700)
+        d = json.loads(s.to_json())
+        assert d["reads"] == 20 and d["kmers"] == 2600 and d["unique_kmers"] == 1700
+        assert d["kmers_per_s"] > 0
