@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Benchmark driver entry point: prints ONE JSON line.
+
+Workload: canonical k=21 counting over 1M simulated 150bp reads on a
+single chip (BASELINE.json configs[1]).  vs_baseline is measured against
+the reference extension's HashAggregate counting throughput (~1.3e6
+k-mers/s, BASELINE.md GROUP BY row).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from kmer_tpu.bench import run_bench
+
+    n_reads = int(os.environ.get("KMER_BENCH_READS", 1 << 20))
+    result = run_bench(n_reads=n_reads, read_len=150, k=21, canonical=True)
+    detail = result.pop("detail", {})
+    print(json.dumps(result), flush=True)
+    print(json.dumps({"detail": detail}), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,9 +47,10 @@ def run_bench(
 
     step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
 
-    # warmup / compile
+    # warmup / compile (int() forces a real host sync; block_until_ready
+    # can return early through remote-execution tunnels)
     warm = step(jnp.asarray(host_chunks[0]), lengths)
-    jax.block_until_ready(warm)
+    int(warm.n_unique)
 
     t0 = time.perf_counter()
     acc = None
@@ -59,7 +60,7 @@ def run_bench(
             acc = table if acc is None else merge_tables(acc, table)
         else:
             acc = table
-    jax.block_until_ready(acc)
+    n_unique = int(acc.n_unique)  # host sync = true completion
     dt = time.perf_counter() - t0
 
     kmers_per_s = total_kmers / dt
@@ -76,7 +77,7 @@ def run_bench(
             "chunks": n_chunks,
             "wall_s": round(dt, 3),
             "total_kmers": total_kmers,
-            "unique_kmers": int(acc.n_unique),
+            "unique_kmers": n_unique,
             "device": str(jax.devices()[0]),
             "merged": merge,
         },

@@ -1,0 +1,151 @@
+"""ctypes bindings for the native host runtime (native/kmer_native.c).
+
+Compiles the shared library on first use (cc -O3 -shared -fPIC) and
+falls back to pure-numpy implementations when no toolchain is present —
+the engine's behavior is identical either way, only host-side ingest
+throughput differs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from . import codec
+from .errors import InvalidDnaSequenceError
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libkmer_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "kmer_native.c")
+            if not os.path.exists(src):
+                return None
+            subprocess.run(
+                ["cc", "-O3", "-fPIC", "-shared", "-o", _LIB_PATH, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.kn_encode_validate.restype = ctypes.c_longlong
+        lib.kn_encode_validate.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8)]
+        lib.kn_encode_skip.restype = ctypes.c_longlong
+        lib.kn_encode_skip.argtypes = lib.kn_encode_validate.argtypes
+        lib.kn_pack2bit.restype = None
+        lib.kn_pack2bit.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint32)]
+        lib.kn_fasta_encode.restype = ctypes.c_longlong
+        lib.kn_fasta_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong, ctypes.c_int]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def encode_dna_fast(seq: bytes | str) -> np.ndarray:
+    """Native-backed validate+encode; numpy fallback = codec.encode_dna."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii", errors="replace")
+    lib = _load()
+    if lib is None:
+        return codec.encode_dna(seq)
+    n = len(seq)
+    out = np.empty(n, dtype=np.uint8)
+    bad = lib.kn_encode_validate(
+        seq, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    if bad >= 0:
+        raise InvalidDnaSequenceError()
+    return out
+
+
+def encode_skip_invalid(seq: bytes) -> np.ndarray:
+    """Encode dropping non-ACGT bytes (N runs etc.)."""
+    lib = _load()
+    if lib is None:
+        raw = np.frombuffer(seq, dtype=np.uint8)
+        c = codec.CODE_LUT[raw]
+        return c[c >= 0].astype(np.uint8)
+    n = len(seq)
+    out = np.empty(n, dtype=np.uint8)
+    w = lib.kn_encode_skip(seq, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:w]
+
+
+def fasta_encode(data: bytes, skip_invalid: bool = True,
+                 max_reads: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
+    """FASTA bytes -> (code stream, per-read offsets [n_reads+1]).
+
+    Native one-pass parse; numpy/python fallback parses headers in
+    Python and encodes per record.
+    """
+    lib = _load()
+    if lib is None:
+        return _fasta_encode_py(data, skip_invalid)
+    n = len(data)
+    codes = np.empty(n, dtype=np.uint8)
+    offsets = np.empty(max_reads + 1, dtype=np.int64)
+    r = lib.kn_fasta_encode(
+        data, n,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        max_reads, 1 if skip_invalid else 0,
+    )
+    if r == -1 - n:
+        raise ValueError("fasta_encode: max_reads capacity exceeded")
+    if r < 0:
+        raise InvalidDnaSequenceError()
+    nreads = int(r)
+    total = int(offsets[nreads])
+    return codes[:total].copy(), offsets[: nreads + 1].copy()
+
+
+def _fasta_encode_py(data: bytes, skip_invalid: bool):
+    records: list[bytes] = []
+    buf: list[bytes] = []
+    started = False
+    for line in data.split(b"\n"):
+        line = line.strip(b"\r")
+        if line.startswith(b">"):
+            if started:
+                records.append(b"".join(buf))
+                buf = []
+            started = True
+            continue
+        if line:
+            if not started:
+                started = True
+            buf.append(line)
+    if started:
+        records.append(b"".join(buf))
+    offs = [0]
+    chunks = []
+    for rec in records:
+        if skip_invalid:
+            c = encode_skip_invalid(rec)
+        else:
+            c = codec.encode_dna(rec)
+        chunks.append(c)
+        offs.append(offs[-1] + c.size)
+    codes = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    return codes, np.asarray(offs, dtype=np.int64)

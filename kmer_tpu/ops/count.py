@@ -3,15 +3,25 @@
 The reference counts via Postgres HashAggregate (hash opclass,
 kmer--1.0.0.sql:188-192; plan at kmer-tests.sql:1176-1214).  A hash table
 with per-row probes is hostile to a vector machine, so the TPU-native
-design is *sort-based*: lexicographically sort the packed (hi, lo, length)
-keys with XLA's variadic sort (a single fused multi-key sort on device),
-mark segment boundaries, and segment-sum weights.  This is exact, handles
-duplicate weights (so partial tables merge associatively), and every step
-is a dense vector op.
+design is *sort-based*: lexicographically sort the packed keys with XLA's
+variadic multi-key sort, find segment boundaries, and derive per-segment
+counts positionally — scatter-free.
 
-All functions are jit-compatible with static shapes: results are padded to
-the input size with an ``n_unique`` scalar; unique keys occupy the first
-``n_unique`` slots in ascending key order.
+Table layout ("sorted-run" form): a CountTable's key arrays hold the
+*sorted keys with duplicates in place*; ``counts`` is nonzero exactly at
+each segment head (the first occurrence of a key), where it holds the
+segment's total weight.  Live groups are therefore ``counts > 0``, in
+ascending key order.  This avoids the compaction scatters entirely — on
+TPU a scatter is far more expensive than the cumulative scans used here.
+
+Two paths:
+* unit-weight (``count_windows``/``count_kmers``): fixed-k extraction
+  counting; sorts 3 operands (hi, lo, validity-as-length) and derives
+  counts from boundary positions alone.
+* weighted (``count_packed``): general GROUP BY / table merge with int32
+  weights; adds a weight cumsum.
+
+All functions are jit-compatible with static shapes.
 """
 
 from __future__ import annotations
@@ -22,12 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import codec
 from ..packed import PackedKmers
 from .extract import canonicalize, extract_windows_batch
 
 # Sentinel key for invalid/padding slots: sorts after every real key
-# (real length <= 32 < SENTINEL_LEN).
+# (real length <= 32 < SENTINEL_LEN, and boundaries include the length
+# lane, so a real all-t 32-mer never merges with sentinels).
 SENTINEL = np.uint32(0xFFFFFFFF)
 SENTINEL_LEN = np.int32(0x7FFFFFFF)
 
@@ -35,7 +45,7 @@ SENTINEL_LEN = np.int32(0x7FFFFFFF)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CountTable:
-    """Padded (keys, counts) table; first n_unique slots are the real groups."""
+    """Sorted-run (keys, counts) table; groups live where counts > 0."""
 
     hi: jax.Array
     lo: jax.Array
@@ -48,13 +58,15 @@ class CountTable:
         return int(self.hi.shape[-1])
 
     def trim(self) -> "CountTable":
-        """Host-side: slice off padding (returns numpy-backed table)."""
-        n = int(self.n_unique)
+        """Host-side: compact to the live groups (ascending key order)."""
+        counts = np.asarray(self.counts)
+        live = counts > 0
+        n = int(live.sum())
         return CountTable(
-            hi=np.asarray(self.hi)[:n],
-            lo=np.asarray(self.lo)[:n],
-            length=np.asarray(self.length)[:n],
-            counts=np.asarray(self.counts)[:n],
+            hi=np.asarray(self.hi)[live],
+            lo=np.asarray(self.lo)[live],
+            length=np.asarray(self.length)[live],
+            counts=counts[live],
             n_unique=np.int64(n),
         )
 
@@ -78,17 +90,70 @@ class CountTable:
         return int(self.n_unique)
 
 
-def count_packed(hi, lo, length, weights) -> CountTable:
-    """Group identical (hi, lo, length) keys and sum their int32 weights.
+def _segment_counts(new, weights=None):
+    """Per-segment totals at segment heads, positionally (scatter-free).
 
-    Slots with weight 0 are treated as absent.  Jit-compatible; the result
-    has the same capacity as the input, groups sorted ascending.
+    new: [n] bool, True at each segment head (new[0] must be True).
+    weights: optional [n] int32; None means unit weights.
+    Returns int32 [n]: segment total at heads, 0 elsewhere.
+    """
+    n = new.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # next segment head strictly after i (n if none)
+    b = jnp.where(new, pos, n)
+    sufmin = jax.lax.associative_scan(jnp.minimum, b, reverse=True)
+    nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
+    if weights is None:
+        cnt = nxt - pos
+    else:
+        csum = jnp.cumsum(weights.astype(jnp.int32))
+        # sum over [i, nxt-1] inclusive = csum[nxt-1] - csum[i] + w[i]
+        end = jnp.clip(nxt - 1, 0, n - 1)
+        cnt = csum[end] - csum + weights
+    return jnp.where(new, cnt, 0).astype(jnp.int32)
+
+
+def _boundaries(shi, slo, sln):
+    first = jnp.ones((1,), bool)
+    return jnp.concatenate(
+        [
+            first,
+            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]) | (sln[1:] != sln[:-1]),
+        ]
+    )
+
+
+def count_windows(hi, lo, valid, k: int) -> CountTable:
+    """Unit-weight fixed-k counting (the extraction hot path).
+
+    Sorts 3 operands; counts derived from positions only.  Invalid slots
+    take the sentinel key (and sentinel length lane, so even an all-t
+    32-mer stays distinct from padding).
+    """
+    hi = jnp.asarray(hi, jnp.uint32).ravel()
+    lo = jnp.asarray(lo, jnp.uint32).ravel()
+    valid = jnp.asarray(valid).ravel()
+    khi = jnp.where(valid, hi, jnp.uint32(SENTINEL))
+    klo = jnp.where(valid, lo, jnp.uint32(SENTINEL))
+    kln = jnp.where(valid, jnp.int32(k), jnp.int32(SENTINEL_LEN))
+    shi, slo, sln = jax.lax.sort((khi, klo, kln), num_keys=3, is_stable=False)
+    new = _boundaries(shi, slo, sln)
+    counts = _segment_counts(new)
+    counts = jnp.where(sln == jnp.int32(SENTINEL_LEN), 0, counts)
+    n_unique = jnp.sum((counts > 0).astype(jnp.int32))
+    return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
+
+
+def count_packed(hi, lo, length, weights) -> CountTable:
+    """Weighted GROUP BY over (hi, lo, length) keys (general/merge path).
+
+    Slots with weight 0 are treated as absent.  Jit-compatible; result
+    capacity equals input size; groups ascend in key order.
     """
     hi = jnp.asarray(hi, jnp.uint32).ravel()
     lo = jnp.asarray(lo, jnp.uint32).ravel()
     length = jnp.asarray(length, jnp.int32).ravel()
     weights = jnp.asarray(weights, jnp.int32).ravel()
-    n = hi.shape[0]
 
     live = weights > 0
     hi = jnp.where(live, hi, jnp.uint32(SENTINEL))
@@ -98,24 +163,11 @@ def count_packed(hi, lo, length, weights) -> CountTable:
     shi, slo, sln, sw = jax.lax.sort(
         (hi, lo, length, weights), num_keys=3, is_stable=False
     )
-
-    first = jnp.ones((1,), bool)
-    new = jnp.concatenate(
-        [
-            first,
-            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]) | (sln[1:] != sln[:-1]),
-        ]
-    )
-    seg = jnp.cumsum(new.astype(jnp.int32)) - 1
-
-    counts = jnp.zeros((n,), jnp.int32).at[seg].add(sw)
-    # representative keys: all writes within a segment carry the same value
-    uhi = jnp.full((n,), SENTINEL, jnp.uint32).at[seg].set(shi, mode="drop")
-    ulo = jnp.full((n,), SENTINEL, jnp.uint32).at[seg].set(slo, mode="drop")
-    uln = jnp.full((n,), SENTINEL_LEN, jnp.int32).at[seg].set(sln, mode="drop")
-
+    new = _boundaries(shi, slo, sln)
+    counts = _segment_counts(new, sw)
+    counts = jnp.where(sln == jnp.int32(SENTINEL_LEN), 0, counts)
     n_unique = jnp.sum((counts > 0).astype(jnp.int32))
-    return CountTable(hi=uhi, lo=ulo, length=uln, counts=counts, n_unique=n_unique)
+    return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
 
 
 def count_column(col: PackedKmers, valid=None) -> CountTable:
@@ -129,7 +181,7 @@ def count_column(col: PackedKmers, valid=None) -> CountTable:
 
 
 def merge_tables(a: CountTable, b: CountTable) -> CountTable:
-    """Associative merge of two padded count tables (counts add per key)."""
+    """Associative merge of two tables (counts add per key)."""
     hi = jnp.concatenate([a.hi, b.hi])
     lo = jnp.concatenate([a.lo, b.lo])
     ln = jnp.concatenate([a.length, b.length])
@@ -148,8 +200,7 @@ def count_kmers(reads_codes, lengths, k: int, canonical: bool = False) -> CountT
     hi, lo = wins.hi, wins.lo
     if canonical:
         hi, lo = canonicalize(hi, lo, k)
-    length = jnp.full(hi.shape, k, jnp.int32)
-    return count_packed(hi, lo, length, valid.astype(jnp.int32))
+    return count_windows(hi, lo, valid, k)
 
 
 count_kmers_jit = jax.jit(count_kmers, static_argnames=("k", "canonical"))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.count import CountTable, count_packed
+from ..ops.count import CountTable, count_packed, count_windows
 from ..ops.extract import canonicalize
 from .mesh import AXIS_DATA, AXIS_SEQ
 
@@ -88,8 +88,7 @@ def make_sharded_count_step(mesh, k: int, canonical: bool = False):
 
     def local_step(codes_l, lengths_l):
         hi, lo, valid = _extract_with_halo(codes_l, lengths_l, k, sp, canonical)
-        length = jnp.full(hi.shape, k, jnp.int32)
-        table = count_packed(hi, lo, length, valid.astype(jnp.int32))
+        table = count_windows(hi, lo, valid, k)
         # merge: gather deduplicated local tables over both axes, recount
         axes = (AXIS_DATA, AXIS_SEQ)
         ghi = jax.lax.all_gather(table.hi, axes, tiled=True)

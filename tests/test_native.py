@@ -1,0 +1,69 @@
+"""Native C loader vs numpy fallback equivalence."""
+
+import numpy as np
+import pytest
+
+from kmer_tpu import codec
+from kmer_tpu.errors import InvalidDnaSequenceError
+from kmer_tpu.native import (
+    _fasta_encode_py,
+    encode_dna_fast,
+    encode_skip_invalid,
+    fasta_encode,
+    native_available,
+)
+
+FASTA = b""">read1 desc
+ACGTACGT
+TTGG
+>read2
+acgt
+>empty
+
+>read3
+NNACGTNN
+"""
+
+
+class TestNativeEncode:
+    def test_available(self):
+        # the image ships cc; the native path should build
+        assert native_available()
+
+    def test_encode_matches_codec(self):
+        rng = np.random.default_rng(0)
+        s = rng.choice(np.frombuffer(b"ACGTacgt", np.uint8), 10000).tobytes()
+        np.testing.assert_array_equal(encode_dna_fast(s), codec.encode_dna(s))
+
+    def test_encode_invalid_raises(self):
+        with pytest.raises(InvalidDnaSequenceError):
+            encode_dna_fast(b"ACGTNACGT")
+
+    def test_encode_skip(self):
+        out = encode_skip_invalid(b"NNAcGtNN")
+        np.testing.assert_array_equal(out, np.array([0, 1, 2, 3], np.uint8))
+
+
+class TestFasta:
+    def test_parse(self):
+        codes, offsets = fasta_encode(FASTA)
+        assert offsets.tolist() == [0, 12, 16, 16, 20]
+        reads = [
+            codec.decode_codes(codes[offsets[i] : offsets[i + 1]])
+            for i in range(len(offsets) - 1)
+        ]
+        assert reads == ["acgtacgtttgg", "acgt", "", "acgt"]
+
+    def test_native_matches_python(self):
+        n_codes, n_off = fasta_encode(FASTA)
+        p_codes, p_off = _fasta_encode_py(FASTA, skip_invalid=True)
+        np.testing.assert_array_equal(n_codes, p_codes)
+        np.testing.assert_array_equal(n_off, p_off)
+
+    def test_strict_mode_raises(self):
+        with pytest.raises(InvalidDnaSequenceError):
+            fasta_encode(b">r\nACGTN\n", skip_invalid=False)
+
+    def test_headerless_plain_sequence(self):
+        codes, offsets = fasta_encode(b"ACGT\nACGT\n")
+        assert offsets.tolist() == [0, 8]
