@@ -189,6 +189,9 @@ def main(argv=None) -> int:
     s = sub.add_parser("selftest", help="end-to-end smoke test")
     s.set_defaults(fn=_cmd_selftest)
 
+    pr = sub.add_parser("parity", help="run the reference-suite parity checks")
+    pr.set_defaults(fn=lambda a: 0 if __import__("kmer_tpu.parity", fromlist=["run_parity"]).run_parity() else 1)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -1,0 +1,179 @@
+"""Parity harness: executes the reference test suite's workloads.
+
+Re-runs every behavioral golden from kmer-tests.sql (values recorded
+inline in the reference suite as expected outputs) against this engine
+and reports pass/fail per group — the programmatic form of "run
+kmer-tests.sql and diff" (SURVEY.md §7 step 7).  Usable as a library
+(`run_parity()`) or CLI (`python -m kmer_tpu parity`).
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Callable
+
+from .errors import (
+    InvalidDnaSequenceError,
+    InvalidKmerLengthError,
+    InvalidQkmerSequenceError,
+    KmerTooLongError,
+    QkmerTooLongError,
+)
+
+
+def _raises(fn, exc, msg):
+    try:
+        fn()
+    except exc as e:
+        assert str(e) == msg, f"error message {str(e)!r} != {msg!r}"
+        return
+    raise AssertionError(f"expected {exc.__name__}")
+
+
+def _t1_dna():
+    from .types import Dna
+
+    assert str(Dna("AAAACCCCGGGGTTTT")) == "aaaaccccggggtttt"  # kmer-tests.sql:12-17
+    assert str(Dna("ACGTTGCA")) == "acgttgca"
+    _raises(lambda: Dna("ACGTN"), InvalidDnaSequenceError, "Invalid DNA Sequence")
+
+
+def _t2_kmer():
+    from .types import Kmer
+
+    assert (
+        str(Kmer("AAAACCCCGGGGTTTTAAAACCCCGGGGTTTT"))
+        == "aaaaccccggggttttaaaaccccggggtttt"
+    )  # :51-57
+    _raises(
+        lambda: Kmer("AAAAAAAACCCCCCCCGGGGGGGGTTTTTTTTT"),
+        KmerTooLongError,
+        "KMer Sequence larger than length 32",
+    )  # :70-77
+    _raises(lambda: Kmer("AGTCN"), InvalidDnaSequenceError, "Invalid DNA Sequence")
+
+
+def _t3_qkmer():
+    from .types import Qkmer
+
+    assert str(Qkmer("ACGT")) == "acgt"  # :99-105
+    _raises(
+        lambda: Qkmer("AAAAAAAACCCCCCCCGGGGGGGGTTTTTTTTT"),
+        QkmerTooLongError,
+        "QKMer Sequence larger than length 32",
+    )
+    _raises(lambda: Qkmer("ACGT123"), InvalidQkmerSequenceError, "Invalid QKMer Sequence")
+
+
+def _t4_length():
+    from .ops.predicates import length
+    from .types import Dna, Kmer, Qkmer
+
+    assert length(Dna("ACGTACGT")) == 8  # :148-154
+    assert length(Kmer("ACGTACGT")) == 8
+    assert length(Qkmer("RYN")) == 3
+    assert length(Dna("")) == 0 and length(Kmer("")) == 0 and length(Qkmer("")) == 0
+
+
+def _t5_generate():
+    from .ops.extract import extract_to_strings, generate_kmers
+
+    _raises(lambda: generate_kmers("ACGT", 0), InvalidKmerLengthError, "Invalid KMER Length")
+    _raises(lambda: generate_kmers("AC", 5), InvalidKmerLengthError, "Invalid KMER Length")
+    assert extract_to_strings("ACGTACGT", 3) == ["acg", "cgt", "gta", "tac", "acg", "cgt"]
+    assert extract_to_strings("ACGTACGT", 8) == ["acgtacgt"]  # :287-296
+
+
+def _t67_equals():
+    from .ops.predicates import equals
+
+    assert equals("ACGTACGT", "ACGTACGT") is True  # :315
+    assert equals(None, "ACGTA") is None and equals(None, None) is None
+    assert equals("", None) is None
+    assert equals("", "") is True and equals("A", "") is False
+
+
+def _t89_starts_with():
+    from .ops.predicates import starts_with, starts_with_op
+
+    assert starts_with("ACG", "ACGTACGT") is True
+    assert starts_with(None, "ACGT") is None and starts_with("ACGT", None) is None
+    assert starts_with("", "AGT") is True
+    assert starts_with("ACGTACGT", "AC") is False
+    assert starts_with_op("ACGTACGT", "ACG") is True
+    assert starts_with_op("ACGT", "AC") is True
+    assert starts_with_op("", "AGT") is False
+    assert starts_with_op("AC", "ACGTACGT") is False
+
+
+def _t1011_contains():
+    from .ops.predicates import contains, containing
+
+    assert contains("ACNTANGT", "ACGTACGT") is True
+    assert contains(None, "ACGT") is None and contains("ACGT", None) is None
+    assert contains("", "AGT") is False
+    assert contains("ACGTACGT", "AC") is False
+    assert contains("ACG", "ACGTACGT") is False
+    assert contains("RCGT", "ACGT") is True
+    assert containing("ACGT", "RCGT") is True
+    # quirk: u accepted, matches nothing (kmer.h:50-51)
+    for b in "ACGT":
+        assert contains("U", b) is False
+
+
+def _t1213_count_group():
+    from .ops.count import count_dna
+
+    t = count_dna("ACGTACGT", 4)
+    assert t.total() == 5  # TEST 12.1
+    assert t.to_dict() == {"tacg": 1, "acgt": 2, "cgta": 1, "gtac": 1}  # TEST 13.1
+
+
+def _t14_index_equivalence():
+    from .api import KmerTable
+    from .io import generate_test_rows
+
+    table = KmerTable.from_rows(generate_test_rows(500, seed=14))
+    probes_eq = ["acga", "a", ""]
+    probes_pre = ["", "ac", "acga"]
+    probes_pat = ["angry", "nn", "r"]
+    scan = (
+        {q: set(table.scan_eq(q)) for q in probes_eq},
+        {q: set(table.scan_prefix(q)) for q in probes_pre},
+        {q: set(table.scan_pattern(q)) for q in probes_pat},
+    )
+    table.create_index()
+    for q in probes_eq:
+        assert set(table.where_eq(q)) == scan[0][q]
+    for q in probes_pre:
+        assert set(table.where_prefix(q)) == scan[1][q]
+    for q in probes_pat:
+        assert set(table.where_pattern(q)) == scan[2][q]
+
+
+CHECKS: list[tuple[str, Callable[[], None]]] = [
+    ("TEST 1: dna type", _t1_dna),
+    ("TEST 2: kmer type", _t2_kmer),
+    ("TEST 3: qkmer type", _t3_qkmer),
+    ("TEST 4: length", _t4_length),
+    ("TEST 5: generate_kmers", _t5_generate),
+    ("TEST 6-7: equals/=", _t67_equals),
+    ("TEST 8-9: starts_with/^@", _t89_starts_with),
+    ("TEST 10-11: contains/@>/<@", _t1011_contains),
+    ("TEST 12-13: count/group by", _t1213_count_group),
+    ("TEST 14: index == scan", _t14_index_equivalence),
+]
+
+
+def run_parity(verbose: bool = True) -> bool:
+    ok = True
+    for name, fn in CHECKS:
+        try:
+            fn()
+            if verbose:
+                print(f"PASS  {name}")
+        except Exception:
+            ok = False
+            print(f"FAIL  {name}")
+            traceback.print_exc()
+    return ok
