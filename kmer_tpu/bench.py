@@ -5,9 +5,15 @@ simulated 150bp reads.  The reference baseline is Postgres HashAggregate
 counting at ~1.3e6 k-mers/s on one CPU core (BASELINE.md: 78.7 ms for
 100k rows); vs_baseline is measured k-mers/s over that number.
 
-The pipeline under test is the fused jitted chunk step
-(extract -> canonicalize -> sort-count) plus the cross-chunk exact table
-merge — i.e. a complete exact global count, not extraction alone.
+Pipeline under test (a complete exact global count):
+1. per-chunk fused extract+canonicalize on device (windows land in a
+   preallocated [total] device buffer — no host round trips);
+2. one sort-based count over all windows (single 3-operand lax.sort +
+   boundary scans; merging per-chunk tables instead would re-sort the
+   same data log(chunks) times).
+
+All timing syncs through host transfers; block_until_ready can return
+early over remote-execution tunnels.
 """
 
 from __future__ import annotations
@@ -25,45 +31,69 @@ def run_bench(
     k: int = 21,
     canonical: bool = True,
     chunk_reads: int = 1 << 17,
-    merge: bool = True,
     seed: int = 0,
 ) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from .ops.count import count_kmers, merge_tables
-    from .ops.extract import simulate_reads
+    from .ops.count import count_windows
+    from .ops.extract import canonicalize, extract_windows_batch, simulate_reads
+
+    from .native import device_unpack_rows, pack2bit_rows
 
     chunk_reads = min(chunk_reads, n_reads)
     n_chunks = (n_reads + chunk_reads - 1) // chunk_reads
-    windows_per_read = read_len - k + 1
-    total_kmers = n_reads * windows_per_read
+    wpr = read_len - k + 1
+    total = n_reads * wpr
 
-    # input generation off the clock (host RNG); reuse one buffer per chunk
+    # host-side 2-bit packing (the native loader's wire format): 4x less
+    # host->device traffic than byte codes
     host_chunks = [
-        simulate_reads(chunk_reads, read_len, seed=seed + i) for i in range(n_chunks)
+        pack2bit_rows(simulate_reads(chunk_reads, read_len, seed=seed + i))
+        for i in range(n_chunks)
     ]
     lengths = jnp.full((chunk_reads,), read_len, jnp.int32)
 
-    step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
+    def extract_chunk(words, lengths):
+        codes = device_unpack_rows(words, read_len)
+        wins, valid = extract_windows_batch(codes, lengths, k)
+        hi, lo = wins.hi, wins.lo
+        if canonical:
+            hi, lo = canonicalize(hi, lo, k)
+        return hi.ravel(), lo.ravel(), valid.ravel()
 
-    # warmup / compile (int() forces a real host sync; block_until_ready
-    # can return early through remote-execution tunnels)
-    warm = step(jnp.asarray(host_chunks[0]), lengths)
+    extract_j = jax.jit(extract_chunk)
+
+    @jax.jit
+    def place(buf_hi, buf_lo, hi, lo, start):
+        return (
+            jax.lax.dynamic_update_slice(buf_hi, hi, (start,)),
+            jax.lax.dynamic_update_slice(buf_lo, lo, (start,)),
+        )
+
+    count_j = jax.jit(lambda h, l: count_windows(h, l, jnp.ones_like(h, bool), k))
+
+    # --- warmup / compile (off the clock)
+    whi, wlo, _ = extract_j(jnp.asarray(host_chunks[0]), lengths)
+    np.asarray(whi[-1:])
+    buf_hi = jnp.zeros((total,), jnp.uint32)
+    buf_lo = jnp.zeros((total,), jnp.uint32)
+    buf_hi, buf_lo = place(buf_hi, buf_lo, whi, wlo, 0)
+    np.asarray(buf_hi[-1:])
+    warm = count_j(buf_hi, buf_lo)
     int(warm.n_unique)
+    del warm
 
+    # --- timed run
     t0 = time.perf_counter()
-    acc = None
     for i in range(n_chunks):
-        table = step(jnp.asarray(host_chunks[i]), lengths)
-        if merge:
-            acc = table if acc is None else merge_tables(acc, table)
-        else:
-            acc = table
-    n_unique = int(acc.n_unique)  # host sync = true completion
+        hi, lo, _ = extract_j(jnp.asarray(host_chunks[i]), lengths)
+        buf_hi, buf_lo = place(buf_hi, buf_lo, hi, lo, i * chunk_reads * wpr)
+    table = count_j(buf_hi, buf_lo)
+    n_unique = int(table.n_unique)  # host sync = true completion
     dt = time.perf_counter() - t0
 
-    kmers_per_s = total_kmers / dt
+    kmers_per_s = total / dt
     return {
         "metric": "canonical_kmers_counted_per_s_chip",
         "value": round(kmers_per_s, 1),
@@ -76,9 +106,8 @@ def run_bench(
             "canonical": canonical,
             "chunks": n_chunks,
             "wall_s": round(dt, 3),
-            "total_kmers": total_kmers,
+            "total_kmers": total,
             "unique_kmers": n_unique,
             "device": str(jax.devices()[0]),
-            "merged": merge,
         },
     }

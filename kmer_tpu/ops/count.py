@@ -99,9 +99,10 @@ def _segment_counts(new, weights=None):
     """
     n = new.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    # next segment head strictly after i (n if none)
+    # next segment head strictly after i (n if none); lax.cummin is the
+    # native cumulative op (associative_scan compiles far worse on TPU)
     b = jnp.where(new, pos, n)
-    sufmin = jax.lax.associative_scan(jnp.minimum, b, reverse=True)
+    sufmin = jax.lax.cummin(b, reverse=True)
     nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
     if weights is None:
         cnt = nxt - pos

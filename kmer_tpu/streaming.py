@@ -1,0 +1,106 @@
+"""Streaming counts over long sequences and read streams.
+
+Covers the chromosome-scale shape (BASELINE.json configs[4]: ~250 Mbp,
+k=31): the sequence streams through the device in fixed chunks with a
+k-1 base overlap between consecutive chunks (every window is counted
+exactly once), partial tables merge associatively, and progress can be
+checkpointed/resumed via utils.checkpoint.ResumableCount.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.count import CountTable, count_kmers, merge_tables
+from .utils.logging import StatsCounters, get_logger
+
+
+def iter_chunks_with_overlap(codes: np.ndarray, chunk: int, k: int) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield (chunk_codes, n_new_windows): consecutive chunks share k-1
+    bases so windows crossing chunk edges are emitted exactly once."""
+    n = codes.shape[0]
+    if n < k:
+        return
+    step = chunk - (k - 1)
+    assert step > 0, "chunk must exceed k-1"
+    start = 0
+    while start + k - 1 < n:
+        end = min(start + chunk, n)
+        yield codes[start:end], min(end, n) - start - (k - 1)
+        if end >= n:
+            break
+        start += step
+
+
+def count_long_sequence(
+    codes: np.ndarray,
+    k: int,
+    canonical: bool = False,
+    chunk: int = 1 << 22,
+    resumable=None,
+    stats: StatsCounters | None = None,
+) -> CountTable:
+    """Exact k-mer count of one long 2-bit code sequence, streamed.
+
+    codes: [n] host array.  Each chunk runs the fused device step on a
+    fixed [1, chunk] shape (padded; validity-masked), so one compiled
+    program serves the whole stream.
+    """
+    log = get_logger()
+    step = jax.jit(
+        lambda c, l: count_kmers(c, l, k, canonical), static_argnames=()
+    )
+    acc: CountTable | None = None
+    if resumable is not None and resumable.table is not None:
+        acc = _to_device(resumable.table)
+    for i, (part, _) in enumerate(iter_chunks_with_overlap(codes, chunk, k)):
+        if resumable is not None and not resumable.should_process(i):
+            continue
+        buf = np.zeros((1, chunk), np.uint8)
+        buf[0, : part.size] = part
+        table = step(jnp.asarray(buf), jnp.asarray([part.size], jnp.int32))
+        acc = table if acc is None else merge_tables(acc, table)
+        if resumable is not None:
+            resumable.table = acc
+            resumable.shards_done = i + 1
+        if stats is not None:
+            stats.record_batch(0, part.size, part.size - k + 1, 0)
+        if (i + 1) % 16 == 0:
+            log.info("streamed %d chunks", i + 1)
+    if acc is None:
+        raise ValueError("sequence shorter than k")
+    return acc
+
+
+def count_read_stream(
+    read_batches: Iterator[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    canonical: bool = False,
+    stats: StatsCounters | None = None,
+) -> CountTable:
+    """Exact count over an iterator of (codes [B, L], lengths [B]) batches."""
+    step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
+    acc: CountTable | None = None
+    for codes, lengths in read_batches:
+        table = step(jnp.asarray(codes), jnp.asarray(lengths))
+        acc = table if acc is None else merge_tables(acc, table)
+        if stats is not None:
+            nb = int(np.asarray(lengths).sum())
+            stats.record_batch(codes.shape[0], nb, max(nb - k + 1, 0), 0)
+    if acc is None:
+        raise ValueError("empty read stream")
+    return acc
+
+
+def _to_device(table: CountTable) -> CountTable:
+    return CountTable(
+        hi=jnp.asarray(np.asarray(table.hi)),
+        lo=jnp.asarray(np.asarray(table.lo)),
+        length=jnp.asarray(np.asarray(table.length)),
+        counts=jnp.asarray(np.asarray(table.counts), jnp.int32),
+        n_unique=jnp.asarray(int(table.n_unique)),
+    )

@@ -67,3 +67,36 @@ class TestFasta:
     def test_headerless_plain_sequence(self):
         codes, offsets = fasta_encode(b"ACGT\nACGT\n")
         assert offsets.tolist() == [0, 8]
+
+
+class TestPack2Bit:
+    def test_roundtrip_via_device_unpack(self):
+        import jax.numpy as jnp
+
+        from kmer_tpu.native import device_unpack_rows, pack2bit_rows
+
+        rng = np.random.default_rng(1)
+        for L in [1, 15, 16, 17, 50, 150]:
+            codes = rng.integers(0, 4, (5, L), np.uint8)
+            w = pack2bit_rows(codes)
+            assert w.shape == (5, (L + 15) // 16)
+            back = np.asarray(device_unpack_rows(jnp.asarray(w), L))
+            np.testing.assert_array_equal(back, codes)
+
+    def test_matches_native_c(self):
+        import ctypes
+
+        from kmer_tpu.native import _load, pack2bit_rows
+
+        lib = _load()
+        if lib is None:
+            pytest.skip("no native lib")
+        rng = np.random.default_rng(2)
+        codes = rng.integers(0, 4, 100, np.uint8)
+        out = np.zeros(7, np.uint32)
+        lib.kn_pack2bit(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            100,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        np.testing.assert_array_equal(out, pack2bit_rows(codes[None, :])[0])
