@@ -30,6 +30,13 @@ class KmerCounter:
     # --- single device -------------------------------------------------------
 
     def _forward(self, codes, lengths) -> CountTable:
+        from ..ops.dense_count import DENSE_MAX_K, count_kmers_dense
+
+        if self.config.k <= DENSE_MAX_K:
+            # MXU dense-histogram path: counting as systolic-array matmuls
+            return count_kmers_dense(
+                codes, lengths, self.config.k, self.config.canonical
+            )
         return count_kmers(
             codes, lengths, self.config.k, canonical=self.config.canonical
         )
