@@ -127,12 +127,23 @@ def _boundaries(shi, slo, sln):
 def count_windows(hi, lo, valid, k: int) -> CountTable:
     """Unit-weight fixed-k counting (the extraction hot path).
 
-    Sorts 3 operands; counts derived from positions only.  Invalid slots
-    take the sentinel key (and sentinel length lane, so even an all-t
-    32-mer stays distinct from padding).
+    Counts derived from positions only (scatter-free).  With a validity
+    mask, sorts 3 operands — invalid slots take the sentinel key AND a
+    sentinel length lane, so even an all-t 32-mer stays distinct from
+    padding.  With valid=None (every window live), sorts just the two
+    key lanes.
     """
     hi = jnp.asarray(hi, jnp.uint32).ravel()
     lo = jnp.asarray(lo, jnp.uint32).ravel()
+    if valid is None:
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
+        sln = jnp.full(shi.shape, k, jnp.int32)
+        new = jnp.concatenate(
+            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+        )
+        counts = _segment_counts(new)
+        n_unique = jnp.sum(new.astype(jnp.int32))
+        return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
     valid = jnp.asarray(valid).ravel()
     khi = jnp.where(valid, hi, jnp.uint32(SENTINEL))
     klo = jnp.where(valid, lo, jnp.uint32(SENTINEL))

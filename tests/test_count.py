@@ -139,3 +139,19 @@ class TestBatchedReads:
             s = decode_codes(row[:ln])
             want.update(extract_to_strings(s, k))
         assert table.to_dict() == dict(want)
+
+
+class TestAllValidFastPath:
+    def test_matches_masked_path(self):
+        import jax.numpy as jnp
+
+        from kmer_tpu.ops.count import count_windows
+        from kmer_tpu.ops.extract import extract_windows_batch, simulate_reads
+
+        reads = simulate_reads(16, 30, seed=11)
+        lengths = np.full(16, 30, np.int32)
+        wins, valid = extract_windows_batch(jnp.asarray(reads), jnp.asarray(lengths), 6)
+        a = count_windows(wins.hi, wins.lo, valid, 6)
+        b = count_windows(wins.hi, wins.lo, None, 6)
+        assert a.to_dict() == b.to_dict()
+        assert int(a.n_unique) == int(b.n_unique)
