@@ -15,10 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    from kmer_tpu.bench import run_bench
+    from kmer_tpu.bench import run_bench, run_bench_stream
 
     n_reads = int(os.environ.get("KMER_BENCH_READS", 1 << 20))
-    result = run_bench(n_reads=n_reads, read_len=150, k=21, canonical=True)
+    mode = os.environ.get("KMER_BENCH_MODE", "unpack")
+    fn = run_bench_stream if mode == "stream" else run_bench
+    result = fn(n_reads=n_reads, read_len=150, k=21, canonical=True)
     detail = result.pop("detail", {})
     print(json.dumps(result), flush=True)
     print(json.dumps({"detail": detail}), file=sys.stderr)

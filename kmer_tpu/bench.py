@@ -94,6 +94,92 @@ def run_bench(
     n_unique = int(table.n_unique)  # host sync = true completion
     dt = time.perf_counter() - t0
 
+    return _result(total, dt, n_reads, read_len, k, canonical, n_chunks, n_unique,
+                   mode="unpack")
+
+
+def run_bench_stream(
+    n_reads: int = 1 << 20,
+    read_len: int = 150,
+    k: int = 21,
+    canonical: bool = True,
+    chunk_reads: int = 1 << 17,
+    seed: int = 0,
+) -> dict:
+    """Phase-major variant: windows extracted directly from packed words.
+
+    No code unpack on device (extraction reads 4B per 16 bases); windows
+    are produced phase-major with sentinel-masked invalid slots, and the
+    final count is a 2-operand sort over 16*ceil(bases/16) slots.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .native import pack2bit_rows
+    from .ops.count import count_windows
+    from .ops.extract import canonicalize, extract_from_words, phase_major_valid, simulate_reads
+
+    chunk_reads = min(chunk_reads, n_reads)
+    n_chunks = (n_reads + chunk_reads - 1) // chunk_reads
+    total = n_reads * (read_len - k + 1)
+    bases_per_chunk = chunk_reads * read_len
+    assert bases_per_chunk % 16 == 0, "chunk base count must be word-aligned"
+    nw_chunk = bases_per_chunk // 16
+    nw_total = nw_chunk * n_chunks
+
+    host_chunks = [
+        pack2bit_rows(
+            simulate_reads(chunk_reads, read_len, seed=seed + i).reshape(1, -1)
+        )[0]
+        for i in range(n_chunks)
+    ]
+
+    def extract_chunk(words):
+        hi, lo = extract_from_words(words, k)  # [16, nw_chunk]
+        if canonical:
+            hi, lo = canonicalize(hi, lo, k)
+        return hi, lo
+
+    extract_j = jax.jit(extract_chunk)
+
+    @jax.jit
+    def place(buf_hi, buf_lo, hi, lo, start):
+        return (
+            jax.lax.dynamic_update_slice(buf_hi, hi, (0, start)),
+            jax.lax.dynamic_update_slice(buf_lo, lo, (0, start)),
+        )
+
+    def count_all(buf_hi, buf_lo):
+        valid = phase_major_valid(nw_total, read_len, n_reads, k)
+        return count_windows(buf_hi.ravel(), buf_lo.ravel(), valid.ravel(), k)
+
+    count_j = jax.jit(count_all)
+
+    whi, wlo = extract_j(jnp.asarray(host_chunks[0]))
+    np.asarray(whi[-1:, -1:])
+    buf_hi = jnp.zeros((16, nw_total), jnp.uint32)
+    buf_lo = jnp.zeros((16, nw_total), jnp.uint32)
+    buf_hi, buf_lo = place(buf_hi, buf_lo, whi, wlo, 0)
+    np.asarray(buf_hi[-1:, -1:])
+    warm = count_j(buf_hi, buf_lo)
+    int(warm.n_unique)
+    del warm
+
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        hi, lo = extract_j(jnp.asarray(host_chunks[i]))
+        buf_hi, buf_lo = place(buf_hi, buf_lo, hi, lo, i * nw_chunk)
+    table = count_j(buf_hi, buf_lo)
+    n_unique = int(table.n_unique)
+    dt = time.perf_counter() - t0
+
+    return _result(total, dt, n_reads, read_len, k, canonical, n_chunks, n_unique,
+                   mode="stream")
+
+
+def _result(total, dt, n_reads, read_len, k, canonical, n_chunks, n_unique, mode):
+    import jax
+
     kmers_per_s = total / dt
     return {
         "metric": "canonical_kmers_counted_per_s_chip",
@@ -101,6 +187,7 @@ def run_bench(
         "unit": "kmers/s",
         "vs_baseline": round(kmers_per_s / REFERENCE_KMERS_PER_S, 2),
         "detail": {
+            "mode": mode,
             "n_reads": n_reads,
             "read_len": read_len,
             "k": k,

@@ -147,6 +147,20 @@ def count_windows(hi, lo, valid, k: int) -> CountTable:
     valid = jnp.asarray(valid).ravel()
     khi = jnp.where(valid, hi, jnp.uint32(SENTINEL))
     klo = jnp.where(valid, lo, jnp.uint32(SENTINEL))
+    if k < 32:
+        # a real key can't be (0xFFFF..., 0xFFFF...): left-aligned keys of
+        # k < 32 bases have zero low bits — so validity folds into the key
+        # lanes and the sort stays 2-operand
+        shi, slo = jax.lax.sort((khi, klo), num_keys=2, is_stable=False)
+        new = jnp.concatenate(
+            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+        )
+        counts = _segment_counts(new)
+        is_sent = (shi == jnp.uint32(SENTINEL)) & (slo == jnp.uint32(SENTINEL))
+        counts = jnp.where(is_sent, 0, counts)
+        sln = jnp.where(is_sent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
+        n_unique = jnp.sum((counts > 0).astype(jnp.int32))
+        return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
     kln = jnp.where(valid, jnp.int32(k), jnp.int32(SENTINEL_LEN))
     shi, slo, sln = jax.lax.sort((khi, klo, kln), num_keys=3, is_stable=False)
     new = _boundaries(shi, slo, sln)

@@ -118,3 +118,34 @@ class TestRevcomp:
         hi, lo = extract_windows(jnp.asarray(Dna(s).codes), 4)
         ch, cl = canonicalize(hi, lo, 4)
         assert int(ch[0]) == int(hi[0]) and int(cl[0]) == int(lo[0])
+
+
+class TestPackedWordExtraction:
+    def test_matches_flat_extraction(self):
+        import collections
+
+        from kmer_tpu.native import pack2bit_rows
+        from kmer_tpu.ops.extract import extract_from_words, phase_major_valid
+        from kmer_tpu.codec import join_key64
+
+        rng = np.random.default_rng(0)
+        n_reads, L = 6, 50
+        reads = rng.integers(0, 4, (n_reads, L), np.uint8)
+        stream = reads.reshape(-1)
+        words = pack2bit_rows(stream[None, :])[0]
+        for k in [1, 5, 16, 17, 21, 32]:
+            hi, lo = extract_from_words(jnp.asarray(words), k)
+            valid = phase_major_valid(words.size, L, n_reads, k)
+            got = collections.Counter()
+            keys = join_key64(np.asarray(hi), np.asarray(lo))
+            v = np.asarray(valid)
+            for r in range(16):
+                for w in range(words.size):
+                    if v[r, w]:
+                        got[int(keys[r, w])] += 1
+            want = collections.Counter()
+            for row in reads:
+                h2, l2 = extract_windows(jnp.asarray(row), k)
+                for key in join_key64(np.asarray(h2), np.asarray(l2)):
+                    want[int(key)] += 1
+            assert got == want, k
