@@ -177,6 +177,67 @@ def run_bench_stream(
                    mode="stream")
 
 
+def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int = 0) -> dict:
+    """Index lookup throughput (the BASELINE 'prefix-query lookups/s' metric).
+
+    Builds a device-sorted index over random 21-mers and measures batched
+    equality range lookups (vectorized lexicographic binary search) —
+    the device analogue of the reference's SP-GiST point query
+    (0.214 ms/lookup => ~4.7e3 lookups/s, kmer-tests.sql:1321-1328).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .index import device_sort_column, searchsorted_packed
+    from .packed import PackedKmers
+
+    rng = np.random.default_rng(seed)
+    hi = rng.integers(0, 2**32, n_keys, dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 2**32, n_keys, dtype=np.uint64).astype(np.uint32) & np.uint32(0xFFC00000)
+    ln = np.full(n_keys, 21, np.int32)
+    col = PackedKmers(hi=jnp.asarray(hi), lo=jnp.asarray(lo), length=jnp.asarray(ln))
+
+    t0 = time.perf_counter()
+    sorted_col, _ = device_sort_column(col)
+    np.asarray(sorted_col.hi[-1:])
+    build_s = time.perf_counter() - t0
+
+    qsel = rng.integers(0, n_keys, n_queries)
+    qhi = jnp.asarray(hi[qsel])
+    qlo = jnp.asarray(lo[qsel])
+    qln = jnp.asarray(ln[qsel])
+
+    lookup = jax.jit(
+        lambda h, l, n: (
+            searchsorted_packed(sorted_col.hi, sorted_col.lo, sorted_col.length,
+                                h, l, n, side="left"),
+            searchsorted_packed(sorted_col.hi, sorted_col.lo, sorted_col.length,
+                                h, l, n, side="right"),
+        )
+    )
+    left, right = lookup(qhi, qlo, qln)
+    np.asarray(left[-1:])
+    t0 = time.perf_counter()
+    left, right = lookup(qhi, qlo, qln)
+    hits = int(np.asarray((right - left) > 0).sum())
+    dt = time.perf_counter() - t0
+    assert hits == n_queries  # every query key exists
+
+    return {
+        "metric": "index_eq_lookups_per_s_chip",
+        "value": round(n_queries / dt, 1),
+        "unit": "lookups/s",
+        "vs_baseline": round((n_queries / dt) / 4.7e3, 1),
+        "detail": {
+            "n_keys": n_keys,
+            "n_queries": n_queries,
+            "build_s": round(build_s, 3),
+            "lookup_s": round(dt, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def _result(total, dt, n_reads, read_len, k, canonical, n_chunks, n_unique, mode):
     import jax
 

@@ -105,12 +105,18 @@ def _cmd_query(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    from .bench import run_bench
+    if args.queries:
+        from .bench import run_query_bench
 
-    result = run_bench(
-        n_reads=args.reads, read_len=args.read_len, k=args.k,
-        canonical=not args.no_canonical,
-    )
+        result = run_query_bench()
+    else:
+        from .bench import run_bench, run_bench_stream
+
+        fn = run_bench_stream if args.mode == "stream" else run_bench
+        result = fn(
+            n_reads=args.reads, read_len=args.read_len, k=args.k,
+            canonical=not args.no_canonical,
+        )
     print(json.dumps(result))
     return 0
 
@@ -184,6 +190,9 @@ def main(argv=None) -> int:
     b.add_argument("--read-len", type=int, default=150)
     b.add_argument("-k", type=int, default=21)
     b.add_argument("--no-canonical", action="store_true")
+    b.add_argument("--mode", choices=["unpack", "stream"], default="unpack")
+    b.add_argument("--queries", action="store_true",
+                   help="benchmark index lookups instead of counting")
     b.set_defaults(fn=_cmd_bench)
 
     s = sub.add_parser("selftest", help="end-to-end smoke test")

@@ -43,7 +43,7 @@ BLOCK_ROWS = 256  # rows of 128 lanes per grid step (128 KiB int32 in VMEM)
 
 def _extract_kernel(k: int, block_rows: int, x_ref, nxt_ref, hi_ref, lo_ref):
     x = x_ref[...].astype(jnp.uint32)            # [BR, 128]
-    nxt = nxt_ref[...].astype(jnp.uint32)        # [1, 128] halo row
+    nxt = nxt_ref[0:1].astype(jnp.uint32)        # first halo row of [8, 128]
     x_ext = jnp.concatenate([x, nxt], axis=0)    # [BR+1, 128]
     col = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
     hi = jnp.zeros((block_rows, LANES), jnp.uint32)
@@ -77,12 +77,17 @@ def extract_stream_pallas(codes, k: int, interpret: bool = False,
     if not (0 < k <= MAX_K):
         raise ValueError(f"k must be in 1..{MAX_K}")
     codes = jnp.asarray(codes)
+    if block_rows % 8:
+        raise ValueError("block_rows must be a multiple of 8 (TPU sublane tiling)")
     n = codes.shape[0]
     block = LANES * block_rows
     rows = max(1, -(-n // block)) * block_rows   # ceil to whole blocks
     padded = rows * LANES
-    x = jnp.zeros((padded + LANES,), jnp.int32).at[:n].set(codes.astype(jnp.int32))
-    x = x.reshape(rows + 1, LANES)
+    # pad by 8 halo rows: the halo BlockSpec is an (8, 128) tile (TPU
+    # requires sublane counts divisible by 8) of which the kernel reads
+    # only the first row
+    x = jnp.zeros((padded + 8 * LANES,), jnp.int32).at[:n].set(codes.astype(jnp.int32))
+    x = x.reshape(rows + 8, LANES)
     grid = rows // block_rows
 
     kern = functools.partial(_extract_kernel, k, block_rows)
@@ -92,7 +97,7 @@ def extract_stream_pallas(codes, k: int, interpret: bool = False,
         in_specs=[
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (i * block_rows + block_rows, 0),
+            pl.BlockSpec((8, LANES), lambda i: ((i * block_rows + block_rows) // 8, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
