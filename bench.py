@@ -15,6 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    # early tiny device op + marker line: lets scripts/tpu_run.sh tell a
+    # hung device claim apart from a long compile
+    print(f"claim ok: {float(jnp.ones(2).sum())}", file=sys.stderr, flush=True)
+
     from kmer_tpu.bench import run_bench, run_bench_stream
 
     n_reads = int(os.environ.get("KMER_BENCH_READS", 1 << 20))
