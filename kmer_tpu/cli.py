@@ -149,6 +149,12 @@ def _cmd_selftest(args) -> int:
     return 0
 
 
+def _cmd_parity(args) -> int:
+    from .parity import run_parity
+
+    return 0 if run_parity() else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kmer_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -199,7 +205,7 @@ def main(argv=None) -> int:
     s.set_defaults(fn=_cmd_selftest)
 
     pr = sub.add_parser("parity", help="run the reference-suite parity checks")
-    pr.set_defaults(fn=lambda a: 0 if __import__("kmer_tpu.parity", fromlist=["run_parity"]).run_parity() else 1)
+    pr.set_defaults(fn=_cmd_parity)
 
     args = p.parse_args(argv)
     return args.fn(args)

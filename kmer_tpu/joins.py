@@ -70,7 +70,6 @@ def join_right_starts_with_left(left: PackedKmers, right: PackedKmers) -> np.nda
     ll = np.asarray(left.length, np.int64)
     n = len(idx)
     starts = np.searchsorted(idx.sorted_keys, lk, side="left")
-    spans = np.where(ll < 32, np.uint64(1) << np.uint64(64 - 2 * np.minimum(ll, 31)), 0)
     pairs = []
     for i in range(lk.size):
         p = int(ll[i])
