@@ -40,33 +40,89 @@ def count_long_sequence(
     codes: np.ndarray,
     k: int,
     canonical: bool = False,
-    chunk: int = 1 << 22,
+    chunk: int = 1 << 24,
     resumable=None,
     stats: StatsCounters | None = None,
 ) -> CountTable:
     """Exact k-mer count of one long 2-bit code sequence, streamed.
 
-    codes: [n] host array.  Each chunk runs the fused device step on a
-    fixed [1, chunk] shape (padded; validity-masked), so one compiled
-    program serves the whole stream.
+    Fast path (no resume): each fixed-shape chunk is *extracted* into a
+    preallocated device window buffer, then ONE sort-count runs over all
+    windows — a single compiled program per shape, no per-chunk merge
+    (a growing accumulator would recompile every step and re-sort the
+    same data log(chunks) times).
+
+    Resumable path: per-chunk fused count + associative merge, so
+    progress snapshots stay small enough to checkpoint.
     """
+    if resumable is not None:
+        return _count_long_resumable(codes, k, canonical, chunk, resumable, stats)
+
+    from .ops.count import count_windows
+    from .ops.extract import canonicalize, extract_windows
+
     log = get_logger()
-    step = jax.jit(
-        lambda c, l: count_kmers(c, l, k, canonical), static_argnames=()
-    )
+    n = int(codes.shape[0])
+    total_windows = n - k + 1
+    if total_windows <= 0:
+        raise ValueError("sequence shorter than k")
+    step = chunk - (k - 1)
+    n_chunks = -(-total_windows // step)
+    cap = n_chunks * step  # buffer capacity (>= total_windows)
+
+    def extract_chunk(part_codes):
+        hi, lo = extract_windows(part_codes, k)  # [chunk-k+1] == [step]...
+        if canonical:
+            hi, lo = canonicalize(hi, lo, k)
+        return hi, lo
+
+    extract_j = jax.jit(extract_chunk)
+
+    @jax.jit
+    def place(bh, bl, hi, lo, start):
+        return (
+            jax.lax.dynamic_update_slice(bh, hi, (start,)),
+            jax.lax.dynamic_update_slice(bl, lo, (start,)),
+        )
+
+    def count_all(bh, bl):
+        valid = jnp.arange(cap, dtype=jnp.int32) < total_windows
+        return count_windows(bh, bl, valid, k)
+
+    count_j = jax.jit(count_all)
+
+    buf_hi = jnp.zeros((cap,), jnp.uint32)
+    buf_lo = jnp.zeros((cap,), jnp.uint32)
+    part = np.zeros((chunk,), np.uint8)
+    for i in range(n_chunks):
+        start = i * step
+        end = min(start + chunk, n)
+        part[:] = 0
+        part[: end - start] = codes[start:end]
+        hi, lo = extract_j(jnp.asarray(part))
+        buf_hi, buf_lo = place(buf_hi, buf_lo, hi, lo, start)
+        if stats is not None:
+            stats.record_batch(0, end - start, max(end - start - k + 1, 0), 0)
+        if (i + 1) % 16 == 0:
+            log.info("streamed %d/%d chunks", i + 1, n_chunks)
+    return count_j(buf_hi, buf_lo)
+
+
+def _count_long_resumable(codes, k, canonical, chunk, resumable, stats):
+    log = get_logger()
+    step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
     acc: CountTable | None = None
-    if resumable is not None and resumable.table is not None:
+    if resumable.table is not None:
         acc = _to_device(resumable.table)
     for i, (part, _) in enumerate(iter_chunks_with_overlap(codes, chunk, k)):
-        if resumable is not None and not resumable.should_process(i):
+        if not resumable.should_process(i):
             continue
         buf = np.zeros((1, chunk), np.uint8)
         buf[0, : part.size] = part
         table = step(jnp.asarray(buf), jnp.asarray([part.size], jnp.int32))
         acc = table if acc is None else merge_tables(acc, table)
-        if resumable is not None:
-            resumable.table = acc
-            resumable.shards_done = i + 1
+        resumable.table = acc
+        resumable.shards_done = i + 1
         if stats is not None:
             stats.record_batch(0, part.size, part.size - k + 1, 0)
         if (i + 1) % 16 == 0:
