@@ -58,6 +58,7 @@ def count_long_sequence(
     if resumable is not None:
         return _count_long_resumable(codes, k, canonical, chunk, resumable, stats)
 
+    from .native import device_unpack_rows, pack2bit_rows
     from .ops.count import count_windows
     from .ops.extract import canonicalize, extract_windows
 
@@ -66,12 +67,16 @@ def count_long_sequence(
     total_windows = n - k + 1
     if total_windows <= 0:
         raise ValueError("sequence shorter than k")
+    assert chunk % 16 == 0, "chunk must be word-aligned"
     step = chunk - (k - 1)
     n_chunks = -(-total_windows // step)
     cap = n_chunks * step  # buffer capacity (>= total_windows)
 
-    def extract_chunk(part_codes):
-        hi, lo = extract_windows(part_codes, k)  # [chunk-k+1] == [step]...
+    def extract_chunk(words):
+        # packed wire format (4x less host->device traffic); unpack fuses
+        # into the extraction on device
+        part_codes = device_unpack_rows(words, chunk)[0]
+        hi, lo = extract_windows(part_codes, k)  # [chunk-k+1] == [step]
         if canonical:
             hi, lo = canonicalize(hi, lo, k)
         return hi, lo
@@ -99,7 +104,7 @@ def count_long_sequence(
         end = min(start + chunk, n)
         part[:] = 0
         part[: end - start] = codes[start:end]
-        hi, lo = extract_j(jnp.asarray(part))
+        hi, lo = extract_j(jnp.asarray(pack2bit_rows(part[None, :])))
         buf_hi, buf_lo = place(buf_hi, buf_lo, hi, lo, start)
         if stats is not None:
             stats.record_batch(0, end - start, max(end - start - k + 1, 0), 0)
