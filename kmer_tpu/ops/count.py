@@ -127,46 +127,72 @@ def _boundaries(shi, slo, sln):
 def count_windows(hi, lo, valid, k: int) -> CountTable:
     """Unit-weight fixed-k counting (the extraction hot path).
 
-    Counts derived from positions only (scatter-free).  With a validity
-    mask, sorts 3 operands — invalid slots take the sentinel key AND a
-    sentinel length lane, so even an all-t 32-mer stays distinct from
-    padding.  With valid=None (every window live), sorts just the two
-    key lanes.
+    Counts derived from positions only (scatter-free), and the sort
+    payload is narrowed to the bits k actually uses:
+
+    * k <= 16 (no mask) / k <= 15 (masked): the lo lane is identically
+      zero (left-aligned keys) — 1-operand sort;
+    * k <= 24 (no mask) / k <= 23 (masked): lo uses only its top 16 bits
+      — it sorts as a uint16 lane;
+    * otherwise: two uint32 lanes; k == 32 with a mask adds a length
+      lane, because an all-t 32-mer is bitwise equal to the sentinel.
+
+    With a validity mask, invalid slots fold into all-ones sentinel keys,
+    which real keys cannot equal in the cases above (their padding bits
+    are zero).
     """
     hi = jnp.asarray(hi, jnp.uint32).ravel()
     lo = jnp.asarray(lo, jnp.uint32).ravel()
-    if valid is None:
+    masked = valid is not None
+    if masked:
+        valid = jnp.asarray(valid).ravel()
+        hi = jnp.where(valid, hi, jnp.uint32(SENTINEL))
+        lo = jnp.where(valid, lo, jnp.uint32(SENTINEL))
+
+    if k <= (15 if masked else 16):
+        (shi,) = jax.lax.sort((hi,), num_keys=1, is_stable=False)
+        slo = jnp.zeros_like(shi)
+        new = jnp.concatenate([jnp.ones((1,), bool), shi[1:] != shi[:-1]])
+        is_sent = shi == jnp.uint32(SENTINEL) if masked else None
+    elif k <= (23 if masked else 24):
+        lo16 = (lo >> jnp.uint32(16)).astype(jnp.uint16)
+        shi, slo16 = jax.lax.sort((hi, lo16), num_keys=2, is_stable=False)
+        slo = slo16.astype(jnp.uint32) << jnp.uint32(16)
+        new = jnp.concatenate(
+            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo16[1:] != slo16[:-1])]
+        )
+        is_sent = (
+            (shi == jnp.uint32(SENTINEL)) & (slo16 == jnp.uint16(0xFFFF))
+            if masked
+            else None
+        )
+    elif k < 32 or not masked:
         shi, slo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
-        sln = jnp.full(shi.shape, k, jnp.int32)
         new = jnp.concatenate(
             [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
         )
+        is_sent = (
+            (shi == jnp.uint32(SENTINEL)) & (slo == jnp.uint32(SENTINEL))
+            if masked
+            else None
+        )
+    else:
+        kln = jnp.where(valid, jnp.int32(k), jnp.int32(SENTINEL_LEN))
+        shi, slo, sln = jax.lax.sort((hi, lo, kln), num_keys=3, is_stable=False)
+        new = _boundaries(shi, slo, sln)
         counts = _segment_counts(new)
-        n_unique = jnp.sum(new.astype(jnp.int32))
+        counts = jnp.where(sln == jnp.int32(SENTINEL_LEN), 0, counts)
+        n_unique = jnp.sum((counts > 0).astype(jnp.int32))
         return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
-    valid = jnp.asarray(valid).ravel()
-    khi = jnp.where(valid, hi, jnp.uint32(SENTINEL))
-    klo = jnp.where(valid, lo, jnp.uint32(SENTINEL))
-    if k < 32:
-        # a real key can't be (0xFFFF..., 0xFFFF...): left-aligned keys of
-        # k < 32 bases have zero low bits — so validity folds into the key
-        # lanes and the sort stays 2-operand
-        shi, slo = jax.lax.sort((khi, klo), num_keys=2, is_stable=False)
-        new = jnp.concatenate(
-            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
-        )
-        counts = _segment_counts(new)
-        is_sent = (shi == jnp.uint32(SENTINEL)) & (slo == jnp.uint32(SENTINEL))
+
+    counts = _segment_counts(new)
+    if is_sent is not None:
         counts = jnp.where(is_sent, 0, counts)
         sln = jnp.where(is_sent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
         n_unique = jnp.sum((counts > 0).astype(jnp.int32))
-        return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
-    kln = jnp.where(valid, jnp.int32(k), jnp.int32(SENTINEL_LEN))
-    shi, slo, sln = jax.lax.sort((khi, klo, kln), num_keys=3, is_stable=False)
-    new = _boundaries(shi, slo, sln)
-    counts = _segment_counts(new)
-    counts = jnp.where(sln == jnp.int32(SENTINEL_LEN), 0, counts)
-    n_unique = jnp.sum((counts > 0).astype(jnp.int32))
+    else:
+        sln = jnp.full(shi.shape, k, jnp.int32)
+        n_unique = jnp.sum(new.astype(jnp.int32))
     return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
 
 

@@ -155,3 +155,51 @@ class TestAllValidFastPath:
         b = count_windows(wins.hi, wins.lo, None, 6)
         assert a.to_dict() == b.to_dict()
         assert int(a.n_unique) == int(b.n_unique)
+
+
+class TestSortWidthPaths:
+    """count_windows narrows sort operands by k; sweep every branch."""
+
+    def test_all_k_masked_and_unmasked(self):
+        from kmer_tpu.ops.count import count_windows
+        from kmer_tpu.ops.extract import extract_windows_batch, simulate_reads
+        from kmer_tpu.codec import decode_codes
+        from kmer_tpu.ops.extract import extract_to_strings
+
+        reads = simulate_reads(6, 40, seed=13)
+        lengths = np.array([40, 40, 12, 40, 33, 40], np.int32)
+        for k in [1, 8, 15, 16, 17, 21, 23, 24, 25, 31, 32]:
+            wins, valid = extract_windows_batch(
+                jnp.asarray(reads), jnp.asarray(lengths), k
+            )
+            want = collections.Counter()
+            for row, ln in zip(reads, lengths):
+                if ln >= k:
+                    want.update(extract_to_strings(decode_codes(row[:ln]), k))
+            got = count_windows(wins.hi, wins.lo, valid, k)
+            assert got.to_dict() == dict(want), ("masked", k)
+            # unmasked: full-length rows only
+            full = reads[lengths == 40]
+            winsf, _ = extract_windows_batch(
+                jnp.asarray(full), jnp.asarray(np.full(len(full), 40, np.int32)), k
+            )
+            wantf = collections.Counter()
+            for row in full:
+                wantf.update(extract_to_strings(decode_codes(row), k))
+            gotf = count_windows(winsf.hi, winsf.lo, None, k)
+            assert gotf.to_dict() == dict(wantf), ("unmasked", k)
+
+    def test_all_t_kmers_never_merge_with_sentinel(self):
+        from kmer_tpu.ops.count import count_windows
+        from kmer_tpu.ops.extract import extract_windows_batch
+
+        # rows of all-t bases: the packed keys are all-ones in every used bit
+        for k in [15, 16, 17, 23, 24, 32]:
+            reads = np.full((3, 36), 3, np.uint8)
+            lengths = np.array([36, k, k - 1], np.int32)  # row 3 yields none
+            wins, valid = extract_windows_batch(
+                jnp.asarray(reads), jnp.asarray(lengths), k
+            )
+            table = count_windows(wins.hi, wins.lo, valid, k)
+            want = {"t" * k: (36 - k + 1) + 1}
+            assert table.to_dict() == want, k
