@@ -83,6 +83,54 @@ class TestShardedCount:
         assert sharded.to_dict() == single.to_dict()
 
 
+class TestPartitionedMerge:
+    """merge="partition": all_to_all hash-routed tables, sharded output."""
+
+    def test_matches_gather_and_oracle(self, devices):
+        mesh = make_mesh((4, 2), devices)
+        reads = simulate_reads(num_reads=16, read_len=28, seed=6)
+        lengths = np.array([28] * 12 + [28, 4, 11, 20], np.int32)
+        for k, canonical in [(5, False), (9, True)]:
+            part = count_kmers_sharded(
+                reads, lengths, k, mesh, canonical=canonical, merge="partition"
+            )
+            want = _oracle(reads, lengths, k, canonical=canonical)
+            assert part.to_dict() == want, (k, canonical)
+            assert int(part.n_unique) == len(want)
+            assert part.total() == sum(want.values())
+
+    def test_data_parallel_only_partition(self, devices):
+        mesh = make_mesh((8, 1), devices)
+        reads = simulate_reads(num_reads=32, read_len=24, seed=7)
+        lengths = np.full(32, 24, np.int32)
+        table = count_kmers_sharded(reads, lengths, 6, mesh, merge="partition")
+        assert table.to_dict() == _oracle(reads, lengths, 6)
+
+    def test_overflow_detected_and_fallback_exact(self, devices):
+        from kmer_tpu.parallel.dist import make_sharded_count_step
+
+        mesh = make_mesh((8, 1), devices)
+        # one 128bp read per device -> 121 k=8 windows (~all distinct);
+        # with cap floored at 8, 8 buckets x cap 8 = 64 < unique groups,
+        # so overflow is guaranteed by pigeonhole
+        reads = simulate_reads(num_reads=8, read_len=128, seed=8)
+        lengths = np.full(8, 128, np.int32)
+        step = make_sharded_count_step(mesh, 8, merge="partition", slack=1e-9)
+        _, overflow = step(jnp.asarray(reads), jnp.asarray(lengths))
+        assert int(overflow) > 0
+        # the one-shot API must detect it and still return the exact answer
+        table = count_kmers_sharded(reads, lengths, 8, mesh, merge="partition")
+        assert table.to_dict() == _oracle(reads, lengths, 8)
+
+    def test_bad_merge_name(self, devices):
+        mesh = make_mesh((8, 1), devices)
+        with pytest.raises(ValueError, match="merge"):
+            count_kmers_sharded(
+                simulate_reads(8, 16, seed=9), np.full(8, 16, np.int32), 4, mesh,
+                merge="reduce",
+            )
+
+
 class TestMeshHelpers:
     def test_mesh_shape_for(self):
         assert mesh_shape_for(8) == (8, 1)
