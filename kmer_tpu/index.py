@@ -200,3 +200,162 @@ def device_sort_column(col: PackedKmers) -> tuple[PackedKmers, jnp.ndarray]:
         num_keys=3,
     )
     return PackedKmers(hi=shi, lo=slo, length=sln), srid
+
+
+# --- device-resident serving -------------------------------------------------
+#
+# DeviceIndex keeps the sorted column + row ids in HBM and answers
+# *batches* of queries per dispatch — the serving analogue of the
+# reference's per-tuple SP-GiST walks (kmer_spgist.c:339-566), with one
+# vectorized binary search replacing each trie descent.  All entry
+# points are jit-compatible with static shapes: range queries return
+# [M] (start, end) pairs; row-id materialization returns a fixed
+# [M, cap] block plus a validity mask.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceIndex:
+    """Sorted (hi, lo, length) column + original row ids, device-resident."""
+
+    hi: jax.Array
+    lo: jax.Array
+    length: jax.Array
+    row_ids: jax.Array
+
+    @classmethod
+    def build(cls, column: PackedKmers) -> "DeviceIndex":
+        sorted_col, rid = device_sort_column(column)
+        return cls(
+            hi=sorted_col.hi, lo=sorted_col.lo, length=sorted_col.length, row_ids=rid
+        )
+
+    def __len__(self) -> int:
+        return int(self.hi.shape[0])
+
+    # -- range queries (batched, jittable) ------------------------------------
+
+    def eq_ranges(self, qhi, qlo, qln):
+        """[start, end) per query with exactly this (key, length) — strategy 3."""
+        left = searchsorted_packed(
+            self.hi, self.lo, self.length, qhi, qlo, qln, side="left"
+        )
+        right = searchsorted_packed(
+            self.hi, self.lo, self.length, qhi, qlo, qln, side="right"
+        )
+        return left, right
+
+    def prefix_ranges(self, qhi, qlo, qln):
+        """[start, end) per query of rows starting with the prefix — strategy 28.
+
+        qhi/qlo: packed prefix (left-aligned, zero-padded); qln: prefix
+        lengths (0 => empty prefix => every row, kmer.c:47-48).
+
+        The length filter (len >= |p|, kmer_spgist.c:520-536) folds into
+        the bounds: a key strictly inside (pack(p), pack(p)+4^(32-|p|))
+        always has length >= |p| (its padding is zero), and the only
+        shorter keys in range sit at key == pack(p) with length < |p| —
+        excluded by using |p| as the length lane of the left probe.
+        """
+        n = self.hi.shape[0]
+        qhi = jnp.asarray(qhi, jnp.uint32)
+        qlo = jnp.asarray(qlo, jnp.uint32)
+        qln = jnp.asarray(qln, jnp.int32)
+        left = searchsorted_packed(
+            self.hi, self.lo, self.length, qhi, qlo, qln, side="left"
+        )
+        # upper key = pack(p) + 2^(64-2p), carried across the two lanes
+        shift_hi = jnp.clip(32 - 2 * qln, 0, 31).astype(jnp.uint32)
+        shift_lo = jnp.clip(64 - 2 * qln, 0, 31).astype(jnp.uint32)
+        inc_hi = jnp.where(qln <= 16, jnp.uint32(1) << shift_hi, jnp.uint32(0))
+        inc_lo = jnp.where(qln > 16, jnp.uint32(1) << shift_lo, jnp.uint32(0))
+        ulo = qlo + inc_lo
+        carry = (ulo < qlo).astype(jnp.uint32)
+        uhi = qhi + inc_hi + carry
+        wrapped = uhi < qhi  # pack(p) + span = 2^64: range extends to the end
+        right = searchsorted_packed(
+            self.hi,
+            self.lo,
+            self.length,
+            uhi,
+            ulo,
+            jnp.full(qln.shape, -1, jnp.int32),
+            side="left",
+        )
+        right = jnp.where(wrapped, n, right)
+        empty = qln == 0  # empty prefix matches every row
+        return jnp.where(empty, 0, left), jnp.where(empty, n, right)
+
+    # -- row-id materialization (fixed capacity) ------------------------------
+
+    def gather_rows(self, left, right, cap: int):
+        """Row ids for each [start, end) range, padded to a static cap.
+
+        Returns (rows [M, cap] int32, valid [M, cap] bool).  Ranges wider
+        than cap are truncated — callers size cap from count maxima
+        (right - left) or re-query.
+        """
+        n = self.hi.shape[0]
+        offs = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        pos = left[:, None] + offs
+        valid = pos < right[:, None]
+        rows = self.row_ids[jnp.clip(pos, 0, max(n - 1, 0))]
+        return jnp.where(valid, rows, -1), valid
+
+    def pattern_hits(self, masks, qlen: int, cap: int):
+        """Batched qkmer containment (strategies 7/8, kmer_spgist.c:537-556).
+
+        masks: [M, MAX_K] uint32 IUPAC 4-bit masks (qkmer_mask_vector
+        rows); qlen: static pattern length shared by the batch; cap:
+        static per-query candidate capacity.  Prunes each query to the
+        range of its longest determinate leading run, gathers up to cap
+        candidates, and checks positionwise masks vectorized.  Returns
+        (rows [M, cap] int32 with -1 padding, hit [M, cap] bool,
+        truncated [M] bool — true where candidates overflowed cap).
+        """
+        masks = jnp.asarray(masks, jnp.uint32)
+        # leading determinate run per query: mask with exactly one bit set
+        is_exact = jnp.isin(masks[:, :qlen], jnp.asarray([1, 2, 4, 8], jnp.uint32))
+        lead_len = jnp.argmin(
+            jnp.concatenate(
+                [is_exact, jnp.zeros((masks.shape[0], 1), bool)], axis=1
+            ).astype(jnp.int32),
+            axis=1,
+        ).astype(jnp.int32)
+        # pack the determinate prefix: code = log2(mask) for one-hot masks
+        m = masks[:, :qlen]
+        codes = (
+            (m >> jnp.uint32(1)) & jnp.uint32(1)
+            | ((m >> jnp.uint32(2)) & jnp.uint32(1)) * jnp.uint32(2)
+            | ((m >> jnp.uint32(3)) & jnp.uint32(1)) * jnp.uint32(3)
+        )
+        pos = jnp.arange(qlen, dtype=jnp.int32)[None, :]
+        in_lead = pos < lead_len[:, None]
+        c = jnp.where(in_lead, codes, 0)
+        hi_sh = jnp.where(pos < 16, 30 - 2 * pos, 0).astype(jnp.uint32)
+        lo_sh = jnp.where(pos >= 16, 62 - 2 * pos, 0).astype(jnp.uint32)
+        qhi = jnp.sum(
+            jnp.where(pos < 16, c << hi_sh, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
+        qlo = jnp.sum(
+            jnp.where(pos >= 16, c << lo_sh, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
+        left, right = self.prefix_ranges(qhi, qlo, lead_len)
+        truncated = (right - left) > cap
+
+        n = self.hi.shape[0]
+        offs = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        ppos = left[:, None] + offs
+        in_range = ppos < right[:, None]
+        safe = jnp.clip(ppos, 0, max(n - 1, 0))
+        chi = self.hi[safe]
+        clo = self.lo[safe]
+        cln = self.length[safe]
+        ok = in_range & (cln == qlen)
+        for i in range(int(qlen)):
+            lane = chi if i < 16 else clo
+            shift = jnp.uint32(30 - 2 * (i % 16))
+            code = (lane >> shift) & jnp.uint32(3)
+            ok = ok & (((masks[:, i : i + 1] >> code) & jnp.uint32(1)) != 0)
+        rows = jnp.where(ok, self.row_ids[safe], -1)
+        return rows, ok, truncated

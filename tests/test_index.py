@@ -158,3 +158,86 @@ class TestDeviceIndex:
         for i, q in enumerate(queries):
             want = len(scan_eq(kmers, q))
             assert right[i] - left[i] == want, q
+
+
+class TestDeviceIndexServing:
+    """DeviceIndex: batched device-resident queries == host index == scan."""
+
+    @pytest.fixture(scope="class")
+    def didx(self, dataset):
+        kmers, col, idx = dataset
+        from kmer_tpu.index import DeviceIndex
+
+        jcol = PackedKmers(
+            hi=jnp.asarray(col.hi), lo=jnp.asarray(col.lo),
+            length=jnp.asarray(col.length),
+        )
+        return DeviceIndex.build(jcol)
+
+    def test_batched_eq(self, dataset, didx):
+        kmers, col, idx = dataset
+        queries = ["acga", "", "a", "t" * 32, "gggg", "acgattac"] + kmers[::131]
+        qcol = PackedKmers.from_strings(queries)
+        left, right = didx.eq_ranges(
+            jnp.asarray(qcol.hi), jnp.asarray(qcol.lo), jnp.asarray(qcol.length)
+        )
+        rows, valid = didx.gather_rows(left, right, cap=16)
+        rows, valid = np.asarray(rows), np.asarray(valid)
+        for i, q in enumerate(queries):
+            got = np.sort(rows[i][valid[i]])
+            assert (got == scan_eq(kmers, q)).all(), q
+
+    def test_batched_prefix(self, dataset, didx):
+        kmers, col, idx = dataset
+        queries = ["ac", "", "a", "t" * 32, "acg", "tttt", "ca", "g"]
+        qcol = PackedKmers.from_strings(queries)
+        left, right = didx.prefix_ranges(
+            jnp.asarray(qcol.hi), jnp.asarray(qcol.lo), jnp.asarray(qcol.length)
+        )
+        left, right = np.asarray(left), np.asarray(right)
+        cap = int((right - left).max()) + 1
+        rows, valid = didx.gather_rows(jnp.asarray(left), jnp.asarray(right), cap=cap)
+        rows, valid = np.asarray(rows), np.asarray(valid)
+        for i, q in enumerate(queries):
+            got = np.sort(rows[i][valid[i]])
+            want = scan_prefix(kmers, q)
+            assert (got == want).all(), (q, len(got), len(want))
+
+    def test_prefix_short_key_exclusion(self, didx, dataset):
+        # keys "ac" and "aca" pack identically; prefix "aca" must not
+        # return the shorter "ac" (kmer_spgist.c:520-536 length rule)
+        kmers, col, idx = dataset
+        from kmer_tpu.index import DeviceIndex
+
+        col2 = PackedKmers.from_strings(["ac", "aca", "acaa", "acg", "a"])
+        d2 = DeviceIndex.build(
+            PackedKmers(
+                hi=jnp.asarray(col2.hi), lo=jnp.asarray(col2.lo),
+                length=jnp.asarray(col2.length),
+            )
+        )
+        q = PackedKmers.from_strings(["aca"])
+        left, right = d2.prefix_ranges(
+            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.length)
+        )
+        rows, valid = d2.gather_rows(left, right, cap=8)
+        got = sorted(np.asarray(rows)[0][np.asarray(valid)[0]].tolist())
+        assert got == [1, 2]  # "aca" and "acaa", not "ac"
+
+    def test_batched_pattern(self, dataset, didx):
+        kmers, col, idx = dataset
+        patterns = ["acgr", "nnnn", "rycw", "acga"]  # shared qlen=4
+        masks = np.stack([qkmer_mask_vector(p)[0] for p in patterns])
+        rows, hit, truncated = didx.pattern_hits(
+            jnp.asarray(masks), qlen=4, cap=len(didx)
+        )
+        rows, hit = np.asarray(rows), np.asarray(hit)
+        assert not np.asarray(truncated).any()
+        for i, p in enumerate(patterns):
+            got = np.sort(rows[i][hit[i]])
+            assert (got == scan_pattern(kmers, p)).all(), p
+
+    def test_pattern_truncation_flag(self, dataset, didx):
+        masks = np.stack([qkmer_mask_vector("nnnn")[0]])
+        rows, hit, truncated = didx.pattern_hits(jnp.asarray(masks), qlen=4, cap=4)
+        assert bool(np.asarray(truncated)[0])
