@@ -30,8 +30,13 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "kmer_native.c")
+        src = os.path.join(_NATIVE_DIR, "kmer_native.c")
+        stale = (
+            os.path.exists(src)
+            and os.path.exists(_LIB_PATH)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
             if not os.path.exists(src):
                 return None
             subprocess.run(
@@ -52,6 +57,8 @@ def _load():
         lib.kn_fasta_encode.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong, ctypes.c_int]
+        lib.kn_fastq_encode.restype = ctypes.c_longlong
+        lib.kn_fastq_encode.argtypes = lib.kn_fasta_encode.argtypes
         _lib = lib
     except Exception:
         _lib = None
@@ -149,6 +156,56 @@ def fasta_encode(data: bytes, skip_invalid: bool = True,
     nreads = int(r)
     total = int(offsets[nreads])
     return codes[:total].copy(), offsets[: nreads + 1].copy()
+
+
+def fastq_encode(data: bytes, skip_invalid: bool = True,
+                 max_reads: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
+    """FASTQ bytes -> (code stream, per-read offsets [n_reads+1]).
+
+    Strict 4-line records (@header / sequence / + / quality); quality
+    lines are skipped by sequence length so '@'-leading quality bytes
+    are never misparsed as headers.
+    """
+    lib = _load()
+    if lib is None:
+        return _fastq_encode_py(data, skip_invalid)
+    n = len(data)
+    codes = np.empty(n, dtype=np.uint8)
+    offsets = np.empty(max_reads + 1, dtype=np.int64)
+    r = lib.kn_fastq_encode(
+        data, n,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        max_reads, 1 if skip_invalid else 0,
+    )
+    if r == -1 - n:
+        raise ValueError("fastq_encode: max_reads capacity exceeded")
+    if r < 0:
+        raise InvalidDnaSequenceError()
+    nreads = int(r)
+    total = int(offsets[nreads])
+    return codes[:total].copy(), offsets[: nreads + 1].copy()
+
+
+def _fastq_encode_py(data: bytes, skip_invalid: bool):
+    lines = data.split(b"\n")
+    offs = [0]
+    chunks: list[np.ndarray] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip(b"\r")
+        if not line:
+            i += 1
+            continue
+        if not line.startswith(b"@"):
+            raise InvalidDnaSequenceError()
+        seq = lines[i + 1].strip(b"\r") if i + 1 < len(lines) else b""
+        c = encode_skip_invalid(seq) if skip_invalid else codec.encode_dna(seq)
+        chunks.append(c)
+        offs.append(offs[-1] + c.size)
+        i += 4  # header, sequence, '+', quality
+    codes = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    return codes, np.asarray(offs, dtype=np.int64)
 
 
 def _fasta_encode_py(data: bytes, skip_invalid: bool):

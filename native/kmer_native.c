@@ -125,6 +125,64 @@ long long kn_fasta_encode(const char *buf, long long n, uint8_t *codes,
 }
 
 /*
+ * One-pass FASTQ scan + encode (strict 4-line records: @header,
+ * sequence, '+' separator, quality).  Same contract as kn_fasta_encode;
+ * quality bytes are skipped by sequence length, so '@'-leading quality
+ * lines cannot be misparsed as headers.
+ */
+long long kn_fastq_encode(const char *buf, long long n, uint8_t *codes,
+                          long long *offsets, long long max_reads,
+                          int skip_invalid)
+{
+    long long nreads = 0, w = 0, i = 0;
+    while (i < n) {
+        if (buf[i] == '\n' || buf[i] == '\r') {  /* blank trailing lines */
+            i++;
+            continue;
+        }
+        if (buf[i] != '@')              /* record must open with @header */
+            return -i - 1;
+        while (i < n && buf[i] != '\n')
+            i++;
+        i++;
+        if (nreads >= max_reads)
+            return -((long long)1) - n;  /* capacity overflow sentinel */
+        offsets[nreads++] = w;
+        long long seq_len = 0;          /* chars on the sequence line */
+        while (i < n && buf[i] != '\n') {
+            char ch = buf[i];
+            if (ch != '\r') {
+                uint8_t c = CODE_LUT[(uint8_t)ch];
+                if (c == 0xFF) {
+                    if (!skip_invalid)
+                        return -i - 1;
+                } else {
+                    codes[w++] = c;
+                }
+                seq_len++;
+            }
+            i++;
+        }
+        i++;
+        if (i < n) {                    /* '+' separator line */
+            if (buf[i] != '+')
+                return -i - 1;
+            while (i < n && buf[i] != '\n')
+                i++;
+            i++;
+        }
+        long long q = 0;                /* quality: exactly seq_len chars */
+        while (i < n && q < seq_len) {
+            if (buf[i] != '\r' && buf[i] != '\n')
+                q++;
+            i++;
+        }
+    }
+    offsets[nreads] = w;
+    return nreads;
+}
+
+/*
  * Batch-encode newline-separated sequences (one read per line — the
  * shape of a CSV column already isolated by the Python side).
  */

@@ -7,9 +7,11 @@ from kmer_tpu import codec
 from kmer_tpu.errors import InvalidDnaSequenceError
 from kmer_tpu.native import (
     _fasta_encode_py,
+    _fastq_encode_py,
     encode_dna_fast,
     encode_skip_invalid,
     fasta_encode,
+    fastq_encode,
     native_available,
 )
 
@@ -67,6 +69,48 @@ class TestFasta:
     def test_headerless_plain_sequence(self):
         codes, offsets = fasta_encode(b"ACGT\nACGT\n")
         assert offsets.tolist() == [0, 8]
+
+
+# quality line of read1 starts with '@' — must not be parsed as a header
+FASTQ = b"""@read1 desc
+ACGTACGT
++
+@IIIIIII
+@read2
+acgtNN
++read2
+IIIIII
+"""
+
+
+class TestFastq:
+    def test_parse(self):
+        codes, offsets = fastq_encode(FASTQ)
+        assert offsets.tolist() == [0, 8, 12]
+        reads = [
+            codec.decode_codes(codes[offsets[i] : offsets[i + 1]])
+            for i in range(len(offsets) - 1)
+        ]
+        assert reads == ["acgtacgt", "acgt"]
+
+    def test_native_matches_python(self):
+        n_codes, n_off = fastq_encode(FASTQ)
+        p_codes, p_off = _fastq_encode_py(FASTQ, skip_invalid=True)
+        np.testing.assert_array_equal(n_codes, p_codes)
+        np.testing.assert_array_equal(n_off, p_off)
+
+    def test_strict_mode_raises(self):
+        with pytest.raises(InvalidDnaSequenceError):
+            fastq_encode(b"@r\nACGTN\n+\nIIIII\n", skip_invalid=False)
+
+    def test_bad_record_raises(self):
+        with pytest.raises(InvalidDnaSequenceError):
+            fastq_encode(b"ACGT\n")  # no @header
+
+    def test_crlf(self):
+        codes, offsets = fastq_encode(b"@r\r\nACGT\r\n+\r\nIIII\r\n")
+        assert offsets.tolist() == [0, 4]
+        assert codec.decode_codes(codes) == "acgt"
 
 
 class TestPack2Bit:
