@@ -22,12 +22,17 @@ def main() -> int:
     # hung device claim apart from a long compile
     print(f"claim ok: {float(jnp.ones(2).sum())}", file=sys.stderr, flush=True)
 
-    from kmer_tpu.bench import run_bench, run_bench_stream
+    from kmer_tpu.bench import run_bench, run_bench_stream, run_chr_bench, run_query_bench
 
     n_reads = int(os.environ.get("KMER_BENCH_READS", 1 << 20))
     mode = os.environ.get("KMER_BENCH_MODE", "unpack")
-    fn = run_bench_stream if mode == "stream" else run_bench
-    result = fn(n_reads=n_reads, read_len=150, k=21, canonical=True)
+    if mode == "chr":  # BASELINE configs[4] shape: ~250 Mbp, k=31
+        result = run_chr_bench()
+    elif mode == "query":  # BASELINE configs[2]: index lookups
+        result = run_query_bench()
+    else:
+        fn = run_bench_stream if mode == "stream" else run_bench
+        result = fn(n_reads=n_reads, read_len=150, k=21, canonical=True)
     detail = result.pop("detail", {})
     print(json.dumps(result), flush=True)
     print(json.dumps({"detail": detail}), file=sys.stderr)

@@ -4,7 +4,7 @@ import collections
 
 import numpy as np
 
-from kmer_tpu.bench import run_bench, run_bench_stream, run_query_bench
+from kmer_tpu.bench import run_bench, run_bench_stream, run_chr_bench, run_query_bench
 from kmer_tpu.codec import decode_codes
 from kmer_tpu.ops.extract import extract_to_strings, simulate_reads
 
@@ -31,8 +31,19 @@ class TestBenchHarness:
 
     def test_stream_mode_matches_unpack(self):
         a = run_bench(n_reads=512, read_len=48, k=21, chunk_reads=256)
-        b = run_bench_stream(n_reads=512, read_len=48, k=21, chunk_reads=256)
+        b = run_bench_stream(n_reads=512, read_len=48, k=21)
         assert a["detail"]["unique_kmers"] == b["detail"]["unique_kmers"]
+
+    def test_chr_mode_exact(self):
+        # tiny "chromosome": 2048 bases, chunk 512, k=31 -> exact oracle
+        rng = np.random.default_rng(0)
+        r = run_chr_bench(n_bases=2048, k=31, canonical=False, seed=0, chunk=512)
+        codes = rng.integers(0, 4, 2048, dtype=np.uint8)
+        want = collections.Counter(
+            tuple(codes[i : i + 31]) for i in range(2048 - 31 + 1)
+        )
+        assert r["detail"]["unique_kmers"] == len(want)
+        assert r["detail"]["total_kmers"] == 2048 - 31 + 1
 
     def test_query_bench(self):
         r = run_query_bench(n_keys=1 << 12, n_queries=1 << 10)
