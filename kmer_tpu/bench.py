@@ -284,8 +284,11 @@ def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int =
     ln = np.full(n_keys, 21, np.int32)
     col = PackedKmers(hi=jnp.asarray(hi), lo=jnp.asarray(lo), length=jnp.asarray(ln))
 
+    build_j = jax.jit(device_sort_column)
+    sorted_col, _ = build_j(col)  # warmup: compile off the clock
+    np.asarray(sorted_col.hi[-1:])
     t0 = time.perf_counter()
-    sorted_col, _ = device_sort_column(col)
+    sorted_col, _ = build_j(col)
     np.asarray(sorted_col.hi[-1:])
     build_s = time.perf_counter() - t0
 
@@ -310,6 +313,28 @@ def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int =
     dt = time.perf_counter() - t0
     assert hits == n_queries  # every query key exists
 
+    # prefix ranges (^@, strategy 28): random 8-base prefixes drawn from
+    # stored keys — the analogue of the reference's SP-GiST ^@ scan
+    # (0.968 ms/query, kmer-tests.sql:1346-1353)
+    from .index import DeviceIndex
+
+    dev_idx = DeviceIndex(
+        hi=sorted_col.hi, lo=sorted_col.lo, length=sorted_col.length,
+        row_ids=jnp.arange(n_keys, dtype=jnp.int32),
+    )
+    p = 8
+    phi = qhi & jnp.uint32(0xFFFF0000)  # top 8 bases of each query key
+    plo = jnp.zeros_like(qlo)
+    pln = jnp.full((n_queries,), p, jnp.int32)
+    plookup = jax.jit(dev_idx.prefix_ranges)
+    pl_, pr_ = plookup(phi, plo, pln)
+    np.asarray(pl_[-1:])
+    t0 = time.perf_counter()
+    pl_, pr_ = plookup(phi, plo, pln)
+    phits = int(np.asarray((pr_ - pl_) > 0).sum())
+    dt_p = time.perf_counter() - t0
+    assert phits == n_queries  # each prefix has at least its source key
+
     return {
         "metric": "index_eq_lookups_per_s_chip",
         "value": round(n_queries / dt, 1),
@@ -320,6 +345,9 @@ def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int =
             "n_queries": n_queries,
             "build_s": round(build_s, 3),
             "lookup_s": round(dt, 4),
+            "prefix_lookups_per_s": round(n_queries / dt_p, 1),
+            "prefix_lookup_s": round(dt_p, 4),
+            "prefix_vs_baseline": round((n_queries / dt_p) / 1.03e3, 1),
             "device": str(jax.devices()[0]),
         },
     }
