@@ -34,7 +34,7 @@ from .ops import (  # noqa: F401
     starts_with_op,
 )
 from .ops.count import count_column, count_dna, merge_tables  # noqa: F401
-from .index import DeviceIndex, KmerIndex  # noqa: F401
+from .index import DeviceHashIndex, DeviceIndex, KmerIndex  # noqa: F401
 from .config import EngineConfig  # noqa: F401
 
 __version__ = "0.1.0"

@@ -267,15 +267,19 @@ def run_chr_bench(
 def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int = 0) -> dict:
     """Index lookup throughput (the BASELINE 'prefix-query lookups/s' metric).
 
-    Builds a device-sorted index over random 21-mers and measures batched
-    equality range lookups (vectorized lexicographic binary search) —
-    the device analogue of the reference's SP-GiST point query
-    (0.214 ms/lookup => ~4.7e3 lookups/s, kmer-tests.sql:1321-1328).
+    Builds a device-sorted index over random 21-mers and measures three
+    batched lookup paths against the reference's SP-GiST scans
+    (eq 0.214 ms => ~4.7e3/s; ^@ 0.968 ms => ~1.03e3/s,
+    kmer-tests.sql:1321-1353):
+    * headline: equality via the bucketized DeviceHashIndex (1-2
+      contiguous bucket-row gathers per query);
+    * detail: equality + prefix ranges via vectorized lexicographic
+      binary search on the sorted column.
     """
     import jax
     import jax.numpy as jnp
 
-    from .index import device_sort_column, searchsorted_packed
+    from .index import DeviceHashIndex, device_sort_column, searchsorted_packed
     from .packed import PackedKmers
 
     rng = np.random.default_rng(seed)
@@ -335,16 +339,34 @@ def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int =
     dt_p = time.perf_counter() - t0
     assert phits == n_queries  # each prefix has at least its source key
 
+    # hash-table equality path (the headline): bucketized open addressing
+    col_np = PackedKmers(hi=hi, lo=lo, length=ln)
+    t0 = time.perf_counter()
+    hidx = DeviceHashIndex.build(col_np)
+    np.asarray(hidx.table[-1:, -1:, -1:])
+    hbuild_s = time.perf_counter() - t0
+    start, cnt, found = hidx.lookup_eq(qhi, qlo, qln)  # warmup/compile
+    np.asarray(start[-1:])
+    t0 = time.perf_counter()
+    start, cnt, found = hidx.lookup_eq(qhi, qlo, qln)
+    hhits = int(np.asarray(found).sum())
+    dt_h = time.perf_counter() - t0
+    assert hhits == n_queries
+
     return {
         "metric": "index_eq_lookups_per_s_chip",
-        "value": round(n_queries / dt, 1),
+        "value": round(n_queries / dt_h, 1),
         "unit": "lookups/s",
-        "vs_baseline": round((n_queries / dt) / 4.7e3, 1),
+        "vs_baseline": round((n_queries / dt_h) / 4.7e3, 1),
         "detail": {
             "n_keys": n_keys,
             "n_queries": n_queries,
-            "build_s": round(build_s, 3),
-            "lookup_s": round(dt, 4),
+            "hash_max_chain": hidx.max_chain,
+            "hash_build_s": round(hbuild_s, 3),
+            "hash_lookup_s": round(dt_h, 4),
+            "binsearch_eq_lookups_per_s": round(n_queries / dt, 1),
+            "sort_build_s": round(build_s, 3),
+            "binsearch_lookup_s": round(dt, 4),
             "prefix_lookups_per_s": round(n_queries / dt_p, 1),
             "prefix_lookup_s": round(dt_p, 4),
             "prefix_vs_baseline": round((n_queries / dt_p) / 1.03e3, 1),

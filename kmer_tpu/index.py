@@ -31,6 +31,7 @@ TEST 14's seq-scan vs index-scan equivalence).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -359,3 +360,161 @@ class DeviceIndex:
             ok = ok & (((masks[:, i : i + 1] >> code) & jnp.uint32(1)) != 0)
         rows = jnp.where(ok, self.row_ids[safe], -1)
         return rows, ok, truncated
+
+
+# --- device hash index ---------------------------------------------------------
+#
+# The serving analogue of the reference's hash opclass (kmer_hash,
+# kmer.c:353-365; kmer_hash_ops, kmer--1.0.0.sql:188-192), and the
+# north-star "open-addressing table" shape: equality lookups probe a
+# bucketized open-addressing table instead of binary-searching the
+# sorted array.  A binary search costs ~log2(N) dependent HBM gathers
+# per query; a bucket probe costs max_chain (typically 1-2) row gathers,
+# because each bucket's 8 slots are one contiguous 160-byte row and all
+# slot fields live in a single [nb, 8, 5] int32 array.
+
+
+_BUCKET = 8
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+@dataclasses.dataclass
+class DeviceHashIndex:
+    """Bucketized open-addressing hash table over unique (key, length)s.
+
+    table:    [nb, 8, 5] int32 device array — per slot
+              (hi, lo, length, group_start, group_count); length == -1
+              marks an empty slot.  Groups point into row_ids.
+    row_ids:  [N] int32 original row positions, grouped by key
+              (ascending key order).
+    max_chain: static bucket-probe bound measured at build time.
+    """
+
+    table: jax.Array
+    row_ids: jax.Array
+    max_chain: int
+    n_unique: int
+
+    @classmethod
+    def build(cls, column: PackedKmers, load: float = 0.25) -> "DeviceHashIndex":
+        """Host-side vectorized build (numpy), device-resident result."""
+        from .ops.predicates import _hash_finalize_np
+
+        col = column.to_numpy()
+        n = len(col)
+        keys = codec.join_key64(col.hi, col.lo)
+        lens = np.asarray(col.length, np.int32)
+        order = np.lexsort((lens, keys))
+        skeys, slens = keys[order], lens[order]
+        new = np.ones(n, bool)
+        new[1:] = (skeys[1:] != skeys[:-1]) | (slens[1:] != slens[:-1])
+        gstart = np.flatnonzero(new).astype(np.int32)
+        u = gstart.size
+        gcount = np.diff(np.append(gstart, n)).astype(np.int32)
+        ghi = (skeys[gstart] >> np.uint64(32)).astype(np.uint32)
+        glo = (skeys[gstart] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        gln = slens[gstart]
+
+        # capacity must cover every unique key regardless of load factor
+        nb = _next_pow2(
+            max(1, int(np.ceil(u / (_BUCKET * load))), -(-int(u) // _BUCKET))
+        )
+        table = np.zeros((nb, _BUCKET, 5), np.int32)
+        table[:, :, 2] = -1  # empty
+        fill = np.zeros(nb, np.int32)
+
+        home = (_hash_finalize_np(ghi, glo, gln) & np.uint32(nb - 1)).astype(np.int64)
+        remaining = np.arange(u, dtype=np.int64)
+        cur = home.copy()
+        chain = 0
+        while remaining.size:
+            b = cur[remaining]
+            # rank of each remaining group within its current bucket
+            o = np.argsort(b, kind="stable")
+            bs = b[o]
+            run_start = np.ones(bs.size, bool)
+            run_start[1:] = bs[1:] != bs[:-1]
+            head = np.maximum.accumulate(np.where(run_start, np.arange(bs.size), 0))
+            rank = np.arange(bs.size) - head
+            slot = fill[bs] + rank
+            win = slot < _BUCKET
+            gidx = remaining[o]
+            wg, wb, ws = gidx[win], bs[win], slot[win]
+            table[wb, ws, 0] = ghi[wg].astype(np.int32)
+            table[wb, ws, 1] = glo[wg].astype(np.int32)
+            table[wb, ws, 2] = gln[wg]
+            table[wb, ws, 3] = gstart[wg]
+            table[wb, ws, 4] = gcount[wg]
+            np.add.at(fill, wb, 1)  # one increment per winner; stays <= _BUCKET
+            remaining = gidx[~win]
+            if remaining.size:
+                cur[remaining] = (cur[remaining] + 1) & (nb - 1)
+                chain += 1
+                if chain > nb:  # cannot happen: capacity >= u
+                    raise RuntimeError("hash index build failed to place keys")
+
+        return cls(
+            table=jnp.asarray(table),
+            row_ids=jnp.asarray(order.astype(np.int32)),
+            max_chain=chain + 1,
+            n_unique=int(u),
+        )
+
+    def __len__(self) -> int:
+        return int(self.row_ids.shape[0])
+
+    def lookup_eq(self, qhi, qlo, qln):
+        """Batched equality lookup: (group_start, group_count, found) per query.
+
+        Row ids for query i are row_ids[start_i : start_i + count_i]
+        (materialize with gather_rows below).  jit-compatible.
+        """
+        return _hash_lookup(self.table, qhi, qlo, qln, self.max_chain)
+
+    def gather_rows(self, start, count, cap: int):
+        """Row ids per range, padded to static cap (like DeviceIndex)."""
+        n = self.row_ids.shape[0]
+        offs = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        pos = start[:, None] + offs
+        valid = offs < count[:, None]
+        rows = self.row_ids[jnp.clip(pos, 0, max(n - 1, 0))]
+        return jnp.where(valid, rows, -1), valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_chain",))
+def _hash_lookup(table, qhi, qlo, qln, max_chain: int):
+    from .ops.predicates import _mix32
+
+    nb = table.shape[0]
+    qhi = jnp.asarray(qhi, jnp.uint32)
+    qlo = jnp.asarray(qlo, jnp.uint32)
+    qln = jnp.asarray(qln, jnp.int32)
+    h = _mix32(qhi ^ jnp.uint32(0x9E3779B9))
+    h = _mix32(h ^ qlo)
+    h = _mix32(h ^ qln.astype(jnp.uint32))
+    h = (h & jnp.uint32(nb - 1)).astype(jnp.int32)
+
+    m = qhi.shape[0]
+    start = jnp.zeros((m,), jnp.int32)
+    count = jnp.zeros((m,), jnp.int32)
+    found = jnp.zeros((m,), bool)
+    for c in range(max_chain):  # static, small (typically 1-3)
+        b = (h + c) & (nb - 1)
+        bucket = table[b]  # [M, 8, 5] — ONE contiguous row gather
+        mhit = (
+            (bucket[:, :, 0].astype(jnp.uint32) == qhi[:, None])
+            & (bucket[:, :, 1].astype(jnp.uint32) == qlo[:, None])
+            & (bucket[:, :, 2] == qln[:, None])
+        )
+        any_hit = mhit.any(axis=1)
+        sel = mhit.astype(jnp.int32)
+        st = jnp.sum(bucket[:, :, 3] * sel, axis=1)  # at most one hit
+        ct = jnp.sum(bucket[:, :, 4] * sel, axis=1)
+        take = any_hit & ~found
+        start = jnp.where(take, st, start)
+        count = jnp.where(take, ct, count)
+        found = found | any_hit
+    return start, count, found

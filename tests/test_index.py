@@ -241,3 +241,71 @@ class TestDeviceIndexServing:
         masks = np.stack([qkmer_mask_vector("nnnn")[0]])
         rows, hit, truncated = didx.pattern_hits(jnp.asarray(masks), qlen=4, cap=4)
         assert bool(np.asarray(truncated)[0])
+
+
+class TestDeviceHashIndex:
+    def test_eq_matches_host_index(self, dataset):
+        from kmer_tpu.index import DeviceHashIndex
+
+        kmers, col, idx = dataset
+        h = DeviceHashIndex.build(col)
+        assert h.max_chain >= 1
+        queries = list(dict.fromkeys(kmers))[::37] + ["gggg", "c" * 31]
+        qcol = PackedKmers.from_strings(queries)
+        start, count, found = h.lookup_eq(
+            jnp.asarray(qcol.hi), jnp.asarray(qcol.lo), jnp.asarray(qcol.length)
+        )
+        cap = int(np.asarray(count).max()) or 1
+        rows, valid = h.gather_rows(start, count, cap)
+        rows, valid = np.asarray(rows), np.asarray(valid)
+        for i, q in enumerate(queries):
+            want = idx.search_eq(q)
+            if want.size == 0:
+                assert not bool(np.asarray(found)[i]), q
+            else:
+                assert bool(np.asarray(found)[i]), q
+                got = np.sort(rows[i][valid[i]])
+                assert (got == want).all(), q
+
+    def test_duplicate_groups(self):
+        from kmer_tpu.index import DeviceHashIndex
+
+        col = PackedKmers.from_strings(["acgt", "acgt", "acgt", "tt", "acg"])
+        h = DeviceHashIndex.build(col)
+        assert h.n_unique == 3
+        q = PackedKmers.from_strings(["acgt"])
+        start, count, found = h.lookup_eq(
+            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.length)
+        )
+        assert bool(found[0]) and int(count[0]) == 3
+        rows, valid = h.gather_rows(start, count, 4)
+        assert sorted(np.asarray(rows)[0][np.asarray(valid)[0]].tolist()) == [0, 1, 2]
+
+    def test_empty_string_key(self):
+        from kmer_tpu.index import DeviceHashIndex
+
+        col = PackedKmers.from_strings(["", "a", ""])
+        h = DeviceHashIndex.build(col)
+        q = PackedKmers.from_strings([""])
+        start, count, found = h.lookup_eq(
+            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.length)
+        )
+        assert bool(found[0]) and int(count[0]) == 2
+
+    def test_forced_chaining(self):
+        # tiny load -> nb small -> collisions force chains; stays exact
+        from kmer_tpu.index import DeviceHashIndex
+
+        import random
+
+        rng = random.Random(5)
+        ks = list({"".join(rng.choice("acgt") for _ in range(12)) for _ in range(200)})
+        col = PackedKmers.from_strings(ks)
+        h = DeviceHashIndex.build(col, load=4.0)  # ~25 keys per bucket of 8
+        assert h.max_chain > 1
+        q = PackedKmers.from_strings(ks)
+        start, count, found = h.lookup_eq(
+            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.length)
+        )
+        assert bool(np.asarray(found).all())
+        assert (np.asarray(count) == 1).all()
