@@ -330,7 +330,10 @@ def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int =
     phi = qhi & jnp.uint32(0xFFFF0000)  # top 8 bases of each query key
     plo = jnp.zeros_like(qlo)
     pln = jnp.full((n_queries,), p, jnp.int32)
-    plookup = jax.jit(dev_idx.prefix_ranges)
+    fence = dev_idx.build_fence(bits=18)
+    plookup = jax.jit(
+        lambda h, l, n: dev_idx.prefix_ranges(h, l, n, fence=fence)
+    )
     pl_, pr_ = plookup(phi, plo, pln)
     np.asarray(pl_[-1:])
     t0 = time.perf_counter()

@@ -156,16 +156,53 @@ def _lex_less(ahi, alo, aln, bhi, blo, bln, or_equal):
     return lt
 
 
-def searchsorted_packed(shi, slo, sln, qhi, qlo, qln, side: str = "left"):
+@dataclasses.dataclass
+class SearchFence:
+    """Sampled top-level of the sorted column — the SP-GiST inner-node
+    analogue.  fence[t] is the first row whose hi's top `bits` equal or
+    exceed t, so a lookup jumps straight into a small bucket and the
+    binary search needs only `steps` probes (a static bound derived from
+    the largest bucket at build time) instead of log2(N)."""
+
+    fence: jax.Array  # [2^bits + 1] int32
+    bits: int
+    steps: int
+
+    @classmethod
+    def build(cls, shi, bits: int = 18) -> "SearchFence":
+        n = shi.shape[0]
+        shift = jnp.uint32(32 - bits)
+        probes = (jnp.arange(1 << bits, dtype=jnp.uint32) << shift).astype(jnp.uint32)
+        pos = jnp.searchsorted(jnp.asarray(shi, jnp.uint32), probes, side="left")
+        fence = jnp.concatenate(
+            [pos.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+        )
+        max_bucket = int(jnp.max(fence[1:] - fence[:-1])) if n else 1
+        steps = max(1, int(np.ceil(np.log2(max(max_bucket, 2)))) + 1)
+        return cls(fence=fence, bits=bits, steps=steps)
+
+
+def searchsorted_packed(shi, slo, sln, qhi, qlo, qln, side: str = "left",
+                        fence: SearchFence | None = None):
     """Insertion positions of queries (qhi,qlo,qln)[M] into the sorted
-    (shi,slo,sln)[N] column; jit-compatible, vectorized over M."""
+    (shi,slo,sln)[N] column; jit-compatible, vectorized over M.
+
+    With a SearchFence, the search starts from the query's fence bucket
+    (2 cheap gathers into a small array) and runs fence.steps probes
+    instead of log2(N)."""
     n = shi.shape[0]
     qhi = jnp.asarray(qhi, jnp.uint32)
     qlo = jnp.asarray(qlo, jnp.uint32)
     qln = jnp.asarray(qln, jnp.int32)
-    lo_b = jnp.zeros(qhi.shape, jnp.int32)
-    hi_b = jnp.full(qhi.shape, n, jnp.int32)
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    if fence is not None:
+        t = (qhi >> jnp.uint32(32 - fence.bits)).astype(jnp.int32)
+        lo_b = fence.fence[t]
+        hi_b = fence.fence[t + 1]
+        steps = fence.steps
+    else:
+        lo_b = jnp.zeros(qhi.shape, jnp.int32)
+        hi_b = jnp.full(qhi.shape, n, jnp.int32)
+        steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
 
     def body(_, carry):
         lo_b, hi_b = carry
@@ -236,17 +273,20 @@ class DeviceIndex:
 
     # -- range queries (batched, jittable) ------------------------------------
 
-    def eq_ranges(self, qhi, qlo, qln):
+    def eq_ranges(self, qhi, qlo, qln, fence: SearchFence | None = None):
         """[start, end) per query with exactly this (key, length) — strategy 3."""
         left = searchsorted_packed(
-            self.hi, self.lo, self.length, qhi, qlo, qln, side="left"
+            self.hi, self.lo, self.length, qhi, qlo, qln, side="left", fence=fence
         )
         right = searchsorted_packed(
-            self.hi, self.lo, self.length, qhi, qlo, qln, side="right"
+            self.hi, self.lo, self.length, qhi, qlo, qln, side="right", fence=fence
         )
         return left, right
 
-    def prefix_ranges(self, qhi, qlo, qln):
+    def build_fence(self, bits: int = 18) -> SearchFence:
+        return SearchFence.build(self.hi, bits=bits)
+
+    def prefix_ranges(self, qhi, qlo, qln, fence: SearchFence | None = None):
         """[start, end) per query of rows starting with the prefix — strategy 28.
 
         qhi/qlo: packed prefix (left-aligned, zero-padded); qln: prefix
@@ -263,7 +303,7 @@ class DeviceIndex:
         qlo = jnp.asarray(qlo, jnp.uint32)
         qln = jnp.asarray(qln, jnp.int32)
         left = searchsorted_packed(
-            self.hi, self.lo, self.length, qhi, qlo, qln, side="left"
+            self.hi, self.lo, self.length, qhi, qlo, qln, side="left", fence=fence
         )
         # upper key = pack(p) + 2^(64-2p), carried across the two lanes
         shift_hi = jnp.clip(32 - 2 * qln, 0, 31).astype(jnp.uint32)
@@ -282,6 +322,7 @@ class DeviceIndex:
             ulo,
             jnp.full(qln.shape, -1, jnp.int32),
             side="left",
+            fence=fence,
         )
         right = jnp.where(wrapped, n, right)
         empty = qln == 0  # empty prefix matches every row

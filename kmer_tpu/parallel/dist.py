@@ -208,6 +208,40 @@ def make_sharded_count_step(
     return jax.jit(sharded)
 
 
+def merge_efficiency(table: CountTable, n_devices: int, merge: str = "gather",
+                     slack: float = 2.0) -> dict:
+    """Merge-efficiency stats for a local table (BASELINE metric #3).
+
+    Efficiency = useful payload bytes / bytes put on the interconnect by
+    this device's merge step (16 bytes per (hi, lo, length, count) slot):
+
+    * gather: every slot of the fixed-capacity sorted-run table travels,
+      live or not, and the exchange replicates to all devices;
+    * partition: n_devices bucket slabs of ``cap`` slots travel once
+      (all_to_all), so dead slack slots are the only waste.
+    """
+    capacity = int(table.capacity)
+    live = int((jnp.asarray(table.counts) > 0).sum())
+    entry_bytes = 16
+    useful = live * entry_bytes
+    if merge == "gather":
+        sent = capacity * entry_bytes
+    elif merge == "partition":
+        cap = max(8, int(slack * capacity / n_devices + 1))
+        sent = n_devices * cap * entry_bytes
+    else:
+        raise ValueError(f"unknown merge strategy {merge!r}")
+    return {
+        "merge": merge,
+        "n_devices": n_devices,
+        "live_groups": live,
+        "capacity": capacity,
+        "bytes_sent_per_device": sent,
+        "useful_bytes": useful,
+        "efficiency": (useful / sent) if sent else 1.0,
+    }
+
+
 def count_kmers_sharded(
     codes, lengths, k: int, mesh, canonical: bool = False, merge: str = "gather"
 ) -> CountTable:

@@ -309,3 +309,40 @@ class TestDeviceHashIndex:
         )
         assert bool(np.asarray(found).all())
         assert (np.asarray(count) == 1).all()
+
+
+class TestSearchFence:
+    def test_fenced_matches_unfenced(self, dataset):
+        from kmer_tpu.index import DeviceIndex, SearchFence
+
+        kmers, col, _ = dataset
+        idx = DeviceIndex.build(col)
+        fence = idx.build_fence(bits=10)
+        assert fence.steps >= 1
+        rng = np.random.default_rng(3)
+        sel = rng.integers(0, len(kmers), 200)
+        qcol = PackedKmers.from_strings([kmers[i] for i in sel])
+        qhi, qlo, qln = (
+            jnp.asarray(qcol.hi), jnp.asarray(qcol.lo), jnp.asarray(qcol.length)
+        )
+        for fn in (idx.eq_ranges, idx.prefix_ranges):
+            l0, r0 = fn(qhi, qlo, qln)
+            l1, r1 = fn(qhi, qlo, qln, fence=fence)
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+            np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    def test_fence_on_skewed_keys(self):
+        from kmer_tpu.index import DeviceIndex
+
+        # all keys share the same top bits -> one giant fence bucket
+        ks = ["aaaaaaaaaaaa" + s for s in ("acgt", "cggt", "tttt", "acga", "acgt")]
+        col = PackedKmers.from_strings(ks)
+        idx = DeviceIndex.build(col)
+        fence = idx.build_fence(bits=8)
+        q = PackedKmers.from_strings([ks[0], "gggg"])
+        l0, r0 = idx.eq_ranges(jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.length))
+        l1, r1 = idx.eq_ranges(
+            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.length), fence=fence
+        )
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))

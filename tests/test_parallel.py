@@ -137,3 +137,22 @@ class TestMeshHelpers:
         assert mesh_shape_for(8, seq_parallel=4) == (2, 4)
         with pytest.raises(ValueError):
             mesh_shape_for(8, seq_parallel=3)
+
+
+class TestMergeEfficiency:
+    def test_stats_shapes(self):
+        from kmer_tpu.ops.count import count_windows
+        from kmer_tpu.parallel.dist import merge_efficiency
+
+        import jax.numpy as jnp
+
+        hi = jnp.asarray(np.array([1, 1, 2, 3], np.uint32))
+        lo = jnp.zeros(4, jnp.uint32)
+        t = count_windows(hi, lo, None, 4)
+        g = merge_efficiency(t, n_devices=8, merge="gather")
+        p = merge_efficiency(t, n_devices=8, merge="partition")
+        assert g["live_groups"] == 3 and g["capacity"] == 4
+        assert 0 < g["efficiency"] <= 1
+        assert p["bytes_sent_per_device"] >= g["useful_bytes"]
+        with pytest.raises(ValueError):
+            merge_efficiency(t, 8, merge="bogus")
