@@ -4,7 +4,8 @@ The reference is driven through psql; the engine's operational surface
 is this CLI (SURVEY.md §7 step 7):
 
   python -m kmer_tpu datagen  --rows 1000 --out data.csv
-  python -m kmer_tpu count    --input data.csv -k 8 [--canonical] [--top 10]
+  python -m kmer_tpu count    --input data.csv|reads.fastq|ref.fasta -k 8
+                              [--canonical] [--top 10]
   python -m kmer_tpu extract  --dna ACGTACGT -k 3
   python -m kmer_tpu query    --input data.csv --eq acga | --prefix ac | --pattern angry
   python -m kmer_tpu bench    [--reads 100000 --read-len 150 -k 21]
@@ -44,6 +45,35 @@ def _cmd_extract(args) -> int:
     return 0
 
 
+def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
+    """Yield (codes [B, W], lengths [B]) batches from a FASTA/FASTQ file."""
+    import numpy as np
+
+    from .native import fasta_encode, fastq_encode
+
+    with open(path, "rb") as f:
+        data = f.read()
+    codes, offs = (fastq_encode if fmt == "fastq" else fasta_encode)(data)
+    lens = np.diff(offs).astype(np.int32)
+    n = lens.size
+    width = max(int(lens.max()) if n else k, k)
+    for s in range(0, n, batch):
+        ls = lens[s : s + batch]
+        rows = np.zeros((ls.size, width), np.uint8)
+        for i, ln in enumerate(ls):
+            rows[i, :ln] = codes[offs[s + i] : offs[s + i] + ln]
+        yield rows, ls
+
+
+def _infer_format(path: str) -> str:
+    low = path.lower()
+    if low.endswith((".fastq", ".fq")):
+        return "fastq"
+    if low.endswith((".fasta", ".fa", ".fna")):
+        return "fasta"
+    return "csv"
+
+
 def _cmd_count(args) -> int:
     import jax.numpy as jnp
     import numpy as np
@@ -55,7 +85,15 @@ def _cmd_count(args) -> int:
 
     log = get_logger()
     stats = StatsCounters()
-    if args.from_dna_column:
+    fmt = args.format or _infer_format(args.input)
+    if fmt in ("fasta", "fastq"):
+        from .streaming import count_read_stream
+
+        result = count_read_stream(
+            _reads_file_batches(args.input, fmt, args.k),
+            args.k, canonical=args.canonical, stats=stats,
+        )
+    elif args.from_dna_column:
         table = KmerTable.from_csv(args.input)
         seqs = [str(d) for d in table.dna]
         codes, lengths = strings_to_padded_codes(seqs)
@@ -109,6 +147,10 @@ def _cmd_bench(args) -> int:
         from .bench import run_query_bench
 
         result = run_query_bench()
+    elif args.mode == "chr":
+        from .bench import run_chr_bench
+
+        result = run_chr_bench()
     else:
         from .bench import run_bench, run_bench_stream
 
@@ -170,8 +212,12 @@ def main(argv=None) -> int:
     e.add_argument("-k", type=int, required=True)
     e.set_defaults(fn=_cmd_extract)
 
-    c = sub.add_parser("count", help="GROUP BY counts over a CSV")
+    c = sub.add_parser("count", help="GROUP BY counts over a CSV/FASTA/FASTQ file")
     c.add_argument("--input", required=True)
+    c.add_argument(
+        "--format", choices=["csv", "fasta", "fastq"], default=None,
+        help="input format (default: inferred from the file extension)",
+    )
     c.add_argument("-k", type=int, default=8)
     c.add_argument("--canonical", action="store_true")
     c.add_argument("--top", type=int, default=0)
@@ -196,7 +242,7 @@ def main(argv=None) -> int:
     b.add_argument("--read-len", type=int, default=150)
     b.add_argument("-k", type=int, default=21)
     b.add_argument("--no-canonical", action="store_true")
-    b.add_argument("--mode", choices=["unpack", "stream"], default="unpack")
+    b.add_argument("--mode", choices=["unpack", "stream", "chr"], default="unpack")
     b.add_argument("--queries", action="store_true",
                    help="benchmark index lookups instead of counting")
     b.set_defaults(fn=_cmd_bench)

@@ -137,6 +137,23 @@ class TestCli:
         r = self._run("query", "--input", csv, "--prefix", "a", "--index")
         assert r.returncode == 0, r.stderr
 
+
+    def test_count_fasta_fastq_cli(self, tmp_path):
+        fa = tmp_path / "r.fasta"
+        fa.write_bytes(b">r1\nACGTACGT\n>r2\nacgt\n")
+        r = self._run("count", "--input", str(fa), "-k", "3")
+        assert r.returncode == 0, r.stderr
+        counts = dict(
+            line.split("\t") for line in r.stdout.strip().splitlines()
+        )
+        # acg appears twice in r1 and once in r2 -> 3
+        assert counts["acg"] == "3" and counts["cgt"] == "3"
+        fq = tmp_path / "r.fastq"
+        fq.write_bytes(b"@r1\nACGTACGT\n+\n@IIIIIII\n@r2\nacgt\n+\nIIII\n")
+        r2 = self._run("count", "--input", str(fq), "-k", "3")
+        assert r2.returncode == 0, r2.stderr
+        assert r2.stdout == r.stdout  # same reads, same counts
+
     def test_selftest_cli(self):
         r = self._run("selftest")
         assert r.returncode == 0, r.stderr
