@@ -30,10 +30,11 @@ class KmerCounter:
     # --- single device -------------------------------------------------------
 
     def _forward(self, codes, lengths) -> CountTable:
-        from ..ops.dense_count import DENSE_MAX_K, count_kmers_dense
+        from ..ops.dense_count import DENSE_ROUTE_K, count_kmers_dense
 
-        if self.config.k <= DENSE_MAX_K:
+        if self.config.k <= DENSE_ROUTE_K:
             # MXU dense-histogram path: counting as systolic-array matmuls
+            # (measured faster than the sort only up to DENSE_ROUTE_K)
             return count_kmers_dense(
                 codes, lengths, self.config.k, self.config.canonical
             )

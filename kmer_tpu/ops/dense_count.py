@@ -12,8 +12,13 @@ This is the engine's fast path for the reference's own configs[0]
 workload (generate_kmers k=8 + GROUP BY): 4^8 = 65,536 bins, split
 256 x 256.
 
-Cost scales n * 4^k MACs, so it's capped at DENSE_MAX_K = 10
-(n * 1M MACs); beyond that the sort-based path wins.
+Cost scales n * (2^hb + 2^lb) one-hot lanes per window, so the MXU wins
+only while the one-hot halves stay narrow.  Measured on v5e at 18.7M
+windows: k=4 dense 29 ms vs sort 54 ms; k=8 dense 122 ms vs sort 52 ms;
+k=10 dense 246 ms vs sort 53 ms — crossover near k=6.  DENSE_ROUTE_K
+is the automatic-routing threshold (KmerCounter); DENSE_MAX_K caps the
+path's validity (f32-exactness + memory), usable explicitly beyond the
+routing point.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from .count import CountTable
 from .extract import canonicalize, extract_windows_batch
 
 DENSE_MAX_K = 10
+DENSE_ROUTE_K = 6  # auto-routing threshold: dense beats sort up to here
 _BLOCK = 1 << 16  # windows per one-hot block
 
 
