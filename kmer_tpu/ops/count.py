@@ -124,6 +124,25 @@ def _boundaries(shi, slo, sln):
     )
 
 
+def _use_pallas_counts() -> bool:
+    """Post-sort counting backend: Pallas kernel on TPU, XLA scans elsewhere.
+
+    The XLA boundary/cummin/cumsum chain costs ~25% of the whole count in
+    unfused HBM passes; pallas/segment_counts.py does it in one.  Decided
+    at trace time; KMER_TPU_NO_PALLAS_COUNTS=1 forces the XLA path.
+    """
+    import os
+
+    if os.environ.get("KMER_TPU_NO_PALLAS_COUNTS"):
+        return False
+    try:
+        from ..pallas.segment_counts import _PALLAS_OK
+
+        return _PALLAS_OK and jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def count_windows(hi, lo, valid, k: int) -> CountTable:
     """Unit-weight fixed-k counting (the extraction hot path).
 
@@ -152,30 +171,20 @@ def count_windows(hi, lo, valid, k: int) -> CountTable:
     if k <= (15 if masked else 16):
         (shi,) = jax.lax.sort((hi,), num_keys=1, is_stable=False)
         slo = jnp.zeros_like(shi)
-        new = jnp.concatenate([jnp.ones((1,), bool), shi[1:] != shi[:-1]])
-        is_sent = shi == jnp.uint32(SENTINEL) if masked else None
+        # slo is identically 0 (incl. sentinel slots), so the unified
+        # sentinel pair compares lo against 0
+        sent = (int(SENTINEL), 0) if masked else None
+        neq = lambda: shi[1:] != shi[:-1]  # noqa: E731
     elif k <= (23 if masked else 24):
         lo16 = (lo >> jnp.uint32(16)).astype(jnp.uint16)
         shi, slo16 = jax.lax.sort((hi, lo16), num_keys=2, is_stable=False)
         slo = slo16.astype(jnp.uint32) << jnp.uint32(16)
-        new = jnp.concatenate(
-            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo16[1:] != slo16[:-1])]
-        )
-        is_sent = (
-            (shi == jnp.uint32(SENTINEL)) & (slo16 == jnp.uint16(0xFFFF))
-            if masked
-            else None
-        )
+        sent = (int(SENTINEL), 0xFFFF0000) if masked else None
+        neq = lambda: (shi[1:] != shi[:-1]) | (slo16[1:] != slo16[:-1])  # noqa: E731
     elif k < 32 or not masked:
         shi, slo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
-        new = jnp.concatenate(
-            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
-        )
-        is_sent = (
-            (shi == jnp.uint32(SENTINEL)) & (slo == jnp.uint32(SENTINEL))
-            if masked
-            else None
-        )
+        sent = (int(SENTINEL), int(SENTINEL)) if masked else None
+        neq = lambda: (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])  # noqa: E731
     else:
         kln = jnp.where(valid, jnp.int32(k), jnp.int32(SENTINEL_LEN))
         shi, slo, sln = jax.lax.sort((hi, lo, kln), num_keys=3, is_stable=False)
@@ -185,8 +194,21 @@ def count_windows(hi, lo, valid, k: int) -> CountTable:
         n_unique = jnp.sum((counts > 0).astype(jnp.int32))
         return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
 
+    if _use_pallas_counts():
+        from ..pallas.segment_counts import segment_counts_sorted
+
+        counts, n_unique = segment_counts_sorted(shi, slo, sentinel=sent)
+        if masked:
+            is_sent = (shi == jnp.uint32(sent[0])) & (slo == jnp.uint32(sent[1]))
+            sln = jnp.where(is_sent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
+        else:
+            sln = jnp.full(shi.shape, k, jnp.int32)
+        return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
+
+    new = jnp.concatenate([jnp.ones((1,), bool), neq()])
     counts = _segment_counts(new)
-    if is_sent is not None:
+    if masked:
+        is_sent = (shi == jnp.uint32(sent[0])) & (slo == jnp.uint32(sent[1]))
         counts = jnp.where(is_sent, 0, counts)
         sln = jnp.where(is_sent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
         n_unique = jnp.sum((counts > 0).astype(jnp.int32))

@@ -52,3 +52,99 @@ class TestExtractKernel:
                                        block_rows=8)
         # window 2 = codes[2:4] = [t, pad] -> 't' + zero bits
         assert int(np.asarray(hi)[2]) == (3 << 30)
+
+
+class TestSegmentCounts:
+    """segment_counts_sorted (interpret mode) vs a host Counter oracle."""
+
+    def _check(self, hi, lo, sentinel=None, block_rows=8):
+        from collections import Counter
+
+        from kmer_tpu.pallas.segment_counts import segment_counts_sorted
+
+        order = np.lexsort((lo, hi))
+        shi, slo = hi[order], lo[order]
+        counts, n_unique = segment_counts_sorted(
+            jnp.asarray(shi), jnp.asarray(slo), sentinel=sentinel,
+            interpret=True, block_rows=block_rows,
+        )
+        counts = np.asarray(counts)
+        keys = list(zip(shi.tolist(), slo.tolist()))
+        oracle = Counter(keys)
+        if sentinel is not None:
+            oracle.pop(sentinel, None)
+        got = {}
+        for i in np.nonzero(counts > 0)[0]:
+            key = keys[i]
+            assert key not in got, "one nonzero count per segment"
+            got[key] = int(counts[i])
+        assert got == dict(oracle)
+        assert int(n_unique) == len(oracle)
+
+    def test_random_with_duplicates(self):
+        rng = np.random.default_rng(0)
+        n = 5000  # crosses several 1024-element blocks at block_rows=8
+        hi = rng.integers(0, 7, n).astype(np.uint32)
+        lo = rng.integers(0, 5, n).astype(np.uint32)
+        self._check(hi, lo)
+
+    def test_segment_spanning_blocks(self):
+        n = 4096
+        hi = np.zeros(n, np.uint32)
+        lo = np.zeros(n, np.uint32)
+        hi[-1] = 9  # one giant segment + one singleton
+        self._check(hi, lo)
+
+    def test_block_aligned_n(self):
+        rng = np.random.default_rng(1)
+        n = 8 * 128 * 2
+        hi = rng.integers(0, 3, n).astype(np.uint32)
+        lo = np.zeros(n, np.uint32)
+        self._check(hi, lo)
+
+    def test_all_unique(self):
+        n = 1500
+        hi = np.arange(n, dtype=np.uint32)
+        lo = np.arange(n, dtype=np.uint32)
+        self._check(hi, lo)
+
+    def test_sentinel_folding(self):
+        rng = np.random.default_rng(2)
+        n = 3000
+        hi = rng.integers(0, 5, n).astype(np.uint32)
+        lo = rng.integers(0, 3, n).astype(np.uint32)
+        hi[:700] = 0xFFFFFFFF
+        lo[:700] = 0xFFFF0000
+        self._check(hi, lo, sentinel=(0xFFFFFFFF, 0xFFFF0000))
+
+    def test_tiny(self):
+        self._check(np.array([5], np.uint32), np.array([0], np.uint32))
+        self._check(np.array([5, 5], np.uint32), np.array([0, 1], np.uint32))
+
+    def test_count_windows_dispatch_matches(self, monkeypatch):
+        """count_windows via the kernel (forced) == XLA path, all widths."""
+        import kmer_tpu.ops.count as count_mod
+        from kmer_tpu.pallas.segment_counts import segment_counts_sorted
+
+        rng = np.random.default_rng(3)
+        n = 2000
+        for k, shift in [(8, 16), (21, 22), (30, 4)]:
+            hi = (rng.integers(0, 50, n).astype(np.uint64) << np.uint64(shift)).astype(np.uint32)
+            lo = np.zeros(n, np.uint32)
+            if k > 16:
+                lo = (rng.integers(0, 4, n).astype(np.uint64) << np.uint64(64 - 2 * k)).astype(np.uint32)
+            valid = rng.integers(0, 2, n).astype(bool)
+            ref = count_mod.count_windows(jnp.asarray(hi), jnp.asarray(lo),
+                                          jnp.asarray(valid), k)
+            monkeypatch.setattr(count_mod, "_use_pallas_counts", lambda: True)
+            monkeypatch.setattr(
+                "kmer_tpu.pallas.segment_counts.segment_counts_sorted",
+                lambda shi, slo, sentinel=None: segment_counts_sorted(
+                    shi, slo, sentinel=sentinel, interpret=True, block_rows=8
+                ),
+            )
+            got = count_mod.count_windows(jnp.asarray(hi), jnp.asarray(lo),
+                                          jnp.asarray(valid), k)
+            monkeypatch.undo()
+            assert got.to_dict() == ref.to_dict()
+            assert int(got.n_unique) == int(ref.n_unique)
