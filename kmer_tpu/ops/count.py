@@ -8,11 +8,14 @@ variadic multi-key sort, find segment boundaries, and derive per-segment
 counts positionally — scatter-free.
 
 Table layout ("sorted-run" form): a CountTable's key arrays hold the
-*sorted keys with duplicates in place*; ``counts`` is nonzero exactly at
-each segment head (the first occurrence of a key), where it holds the
-segment's total weight.  Live groups are therefore ``counts > 0``, in
-ascending key order.  This avoids the compaction scatters entirely — on
-TPU a scatter is far more expensive than the cumulative scans used here.
+*sorted keys with duplicates in place*; ``counts`` holds each equal-key
+segment's total weight in exactly one slot of that segment (WHICH slot
+is backend-dependent: the XLA path emits it at the segment head, the
+Pallas kernel at the tail) and 0 elsewhere.  Live groups are therefore
+``counts > 0``, in ascending key order.  Consumers must not assume a
+positional relationship between a searchsorted hit and its count slot.
+This avoids the compaction scatters entirely — on TPU a scatter is far
+more expensive than the cumulative scans used here.
 
 Two paths:
 * unit-weight (``count_windows``/``count_kmers``): fixed-k extraction

@@ -142,6 +142,10 @@ def segment_counts_sorted(shi, slo, sentinel=None, interpret: bool = False,
     Returns (counts int32 [n] — segment totals at segment tails, 0
     elsewhere; n_unique int32 scalar).
     """
+    if block_rows % 8:
+        # the halo BlockSpec index map divides by 8 (TPU sublane tiling);
+        # a non-multiple would misalign the halo and corrupt counts
+        raise ValueError("block_rows must be a multiple of 8")
     n = shi.shape[0]
     block = LANES * block_rows
     nblocks = max(1, -(-n // block))

@@ -121,6 +121,15 @@ class TestSegmentCounts:
         self._check(np.array([5], np.uint32), np.array([0], np.uint32))
         self._check(np.array([5, 5], np.uint32), np.array([0, 1], np.uint32))
 
+    def test_block_rows_must_be_sublane_multiple(self):
+        from kmer_tpu.pallas.segment_counts import segment_counts_sorted
+
+        with pytest.raises(ValueError, match="multiple of 8"):
+            segment_counts_sorted(
+                jnp.zeros(16, jnp.uint32), jnp.zeros(16, jnp.uint32),
+                interpret=True, block_rows=6,
+            )
+
     def test_count_windows_dispatch_matches(self, monkeypatch):
         """count_windows via the kernel (forced) == XLA path, all widths."""
         import kmer_tpu.ops.count as count_mod
@@ -148,3 +157,36 @@ class TestSegmentCounts:
             monkeypatch.undo()
             assert got.to_dict() == ref.to_dict()
             assert int(got.n_unique) == int(ref.n_unique)
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="compiled Mosaic lowering needs a real TPU",
+)
+class TestCompiledOnTPU:
+    """Compiled Mosaic lowering vs interpret mode (ADVICE r1: the roll on
+    lanes, SMEM carry across grid steps, and halo reads are otherwise
+    never exercised compiled in CI)."""
+
+    def test_segment_counts_compiled_matches_interpret(self):
+        from kmer_tpu.pallas.segment_counts import segment_counts_sorted
+
+        rng = np.random.default_rng(7)
+        n = 512 * 128 * 2 + 333  # >2 grid steps at default block_rows
+        hi = np.sort(rng.integers(0, 1 << 20, n).astype(np.uint32))
+        lo = np.zeros(n, np.uint32)
+        ci, ui = segment_counts_sorted(jnp.asarray(hi), jnp.asarray(lo),
+                                       interpret=True)
+        cc, uc = segment_counts_sorted(jnp.asarray(hi), jnp.asarray(lo))
+        assert int(ui) == int(uc)
+        np.testing.assert_array_equal(np.asarray(ci), np.asarray(cc))
+
+    def test_extract_compiled_matches_interpret(self):
+        from kmer_tpu.pallas.extract_kernel import extract_stream_pallas
+
+        rng = np.random.default_rng(8)
+        codes = rng.integers(0, 4, 256 * 128 + 55, dtype=np.uint8)
+        hi_i, lo_i = extract_stream_pallas(jnp.asarray(codes), 21, interpret=True)
+        hi_c, lo_c = extract_stream_pallas(jnp.asarray(codes), 21)
+        np.testing.assert_array_equal(np.asarray(hi_i), np.asarray(hi_c))
+        np.testing.assert_array_equal(np.asarray(lo_i), np.asarray(lo_c))
