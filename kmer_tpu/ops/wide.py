@@ -86,14 +86,23 @@ class WideCounts:
         ) + np.asarray(self.counts_lo, np.int64)
 
     def trim(self) -> "WideCounts":
-        n = int(self.n_unique)
+        """Host-side: compact to live slots.
+
+        Selects by ``counts > 0`` rather than ``[:n_unique]``: a
+        *sharded* accumulator gathered to host has live slots at the
+        front of each shard, not globally, and its n_unique is the
+        global psum.
+        """
+        ch = np.asarray(self.counts_hi)
+        cl = np.asarray(self.counts_lo)
+        live = (ch > 0) | (cl > 0)
         return WideCounts(
-            hi=np.asarray(self.hi)[:n],
-            lo=np.asarray(self.lo)[:n],
-            length=np.asarray(self.length)[:n],
-            counts_hi=np.asarray(self.counts_hi)[:n],
-            counts_lo=np.asarray(self.counts_lo)[:n],
-            n_unique=np.int64(n),
+            hi=np.asarray(self.hi)[live],
+            lo=np.asarray(self.lo)[live],
+            length=np.asarray(self.length)[live],
+            counts_hi=ch[live],
+            counts_lo=cl[live],
+            n_unique=np.int64(live.sum()),
         )
 
     def to_dict(self) -> dict[str, int]:

@@ -1,0 +1,235 @@
+"""Pod-scale streaming counting: many batches, sharded accumulator.
+
+BASELINE configs[3] (100M reads, N>=2 hosts) is a *multi-batch* workload:
+each step extracts+counts one read batch across the mesh, hash-partitions
+the per-device tables with one all_to_all (dist._partition_merge_local),
+and folds the result into a *sharded* 64-bit accumulator — each device
+owns a disjoint hash range of the global table, so the per-step fold is
+device-local (no gather, no growing replicated state).  Counts use the
+two-lane wide representation (ops/wide.py), so totals past 2^31 stay
+exact.  Progress checkpoints to npz and resumes batch-exactly.
+
+The reference has no analogue (single-process Postgres; SURVEY.md §2.2);
+the behavioral contract is only that the final table equals a host
+GROUP BY over all batches (tests pin this against a Counter oracle).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..ops.count import count_windows
+from ..ops.wide import WideCounts, merge_into_wide
+from ..utils.logging import StatsCounters, get_logger
+from .dist import _extract_with_halo, _partition_merge_local, _shard_map
+from .mesh import AXIS_DATA, AXIS_SEQ
+
+_CKPT_VERSION = 1
+
+
+def make_sharded_stream_step(
+    mesh, k: int, canonical: bool = False, acc_capacity: int = 1 << 16,
+    slack: float = 2.0,
+):
+    """Jitted accumulation step over a ("data", "seq") mesh.
+
+    step(acc, overflow, codes [B, L], lengths [B]) -> (acc', overflow')
+    where ``acc`` is a WideCounts whose arrays are sharded over both mesh
+    axes (global capacity = n_devices * acc_capacity; each device owns
+    the keys hashing to its index) and ``overflow`` is a replicated
+    int32 running total of (a) all_to_all bucket-capacity clips and
+    (b) per-device accumulator-capacity misses.  The result is exact
+    iff the final overflow is 0.
+    """
+    dp, sp = mesh.devices.shape
+    n_parts = dp * sp
+    axes = (AXIS_DATA, AXIS_SEQ)
+
+    def local_step(acc: WideCounts, overflow, codes_l, lengths_l):
+        hi, lo, valid = _extract_with_halo(codes_l, lengths_l, k, sp, canonical)
+        table = count_windows(hi, lo, valid, k)
+        n = table.hi.shape[0]
+        cap = max(8, int(slack * n / n_parts + 1))
+        shard_table, ovf = _partition_merge_local(table, n_parts, cap, axes)
+        acc2 = merge_into_wide(acc, shard_table)
+        local_miss = jnp.maximum(acc2.n_unique - acc_capacity, 0)
+        g_unique = jax.lax.psum(acc2.n_unique, axes)
+        acc2 = dataclasses.replace(acc2, n_unique=g_unique)
+        overflow = overflow + ovf + jax.lax.psum(local_miss, axes)
+        return acc2, overflow
+
+    sharded_spec = P((AXIS_DATA, AXIS_SEQ))
+    acc_specs = WideCounts(
+        hi=sharded_spec, lo=sharded_spec, length=sharded_spec,
+        counts_hi=sharded_spec, counts_lo=sharded_spec, n_unique=P(),
+    )
+    step = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(acc_specs, P(), P(AXIS_DATA, AXIS_SEQ), P(AXIS_DATA)),
+        out_specs=(acc_specs, P()),
+    )
+    return jax.jit(step)
+
+
+def empty_sharded_acc(mesh, acc_capacity: int = 1 << 16) -> WideCounts:
+    """Sharded all-sentinel accumulator (n_devices * acc_capacity slots)."""
+    n_parts = int(np.prod(mesh.devices.shape))
+    host = WideCounts.empty(n_parts * acc_capacity)
+    spec = P((AXIS_DATA, AXIS_SEQ))
+    sh = NamedSharding(mesh, spec)
+    return WideCounts(
+        hi=jax.device_put(host.hi, sh),
+        lo=jax.device_put(host.lo, sh),
+        length=jax.device_put(host.length, sh),
+        counts_hi=jax.device_put(host.counts_hi, sh),
+        counts_lo=jax.device_put(host.counts_lo, sh),
+        n_unique=jax.device_put(host.n_unique, NamedSharding(mesh, P())),
+    )
+
+
+def save_wide(acc: WideCounts, path: str, meta: dict | None = None) -> None:
+    """Snapshot a (possibly sharded) wide accumulator to npz."""
+    np.savez_compressed(
+        path,
+        hi=np.asarray(jax.device_get(acc.hi), np.uint32),
+        lo=np.asarray(jax.device_get(acc.lo), np.uint32),
+        length=np.asarray(jax.device_get(acc.length), np.int32),
+        counts_hi=np.asarray(jax.device_get(acc.counts_hi), np.int32),
+        counts_lo=np.asarray(jax.device_get(acc.counts_lo), np.uint32),
+        n_unique=np.int64(acc.n_unique),
+        meta=json.dumps({"version": _CKPT_VERSION, **(meta or {})}),
+    )
+
+
+def load_wide(path: str) -> tuple[WideCounts, dict]:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        acc = WideCounts(
+            hi=z["hi"], lo=z["lo"], length=z["length"],
+            counts_hi=z["counts_hi"], counts_lo=z["counts_lo"],
+            n_unique=np.int64(z["n_unique"]),
+        )
+    return acc, meta
+
+
+class ResumableStream:
+    """Checkpoint/resume state for stream_sharded_count.
+
+    The snapshot stores the *global* accumulator arrays in mesh-sharded
+    order plus the number of completed batches and the mesh shape; a
+    resume requires the same mesh shape (keys are placed by
+    hash % n_devices, so shards are only meaningful on an equal mesh).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.acc: WideCounts | None = None
+        self.batches_done = 0
+        self.overflow = 0
+        self.mesh_shape: tuple[int, int] | None = None
+        if os.path.exists(path):
+            self.acc, meta = load_wide(path)
+            self.batches_done = int(meta.get("batches_done", 0))
+            self.overflow = int(meta.get("overflow", 0))
+            self.mesh_shape = tuple(meta.get("mesh_shape", ())) or None
+
+    def checkpoint(self, acc: WideCounts, batches_done: int, overflow: int,
+                   mesh_shape: tuple[int, int]) -> None:
+        save_wide(acc, self.path, {
+            "batches_done": batches_done,
+            "overflow": overflow,
+            "mesh_shape": list(mesh_shape),
+        })
+        self.batches_done = batches_done
+
+
+def stream_sharded_count(
+    batches: Iterable[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    mesh,
+    canonical: bool = False,
+    acc_capacity: int = 1 << 16,
+    slack: float = 2.0,
+    resumable: ResumableStream | None = None,
+    ckpt_every: int = 16,
+    stats: StatsCounters | None = None,
+) -> tuple[WideCounts, int]:
+    """Stream (codes [B, L], lengths [B]) batches into a sharded count.
+
+    Returns (sharded WideCounts accumulator, overflow).  overflow > 0
+    means some key ranges were clipped (raise acc_capacity/slack and
+    re-run); exactness contract mirrors dist.count_kmers_sharded.
+    All batches must share one [B, L] shape (static compile).
+    """
+    log = get_logger()
+    mesh_shape = tuple(mesh.devices.shape)
+    step = make_sharded_stream_step(mesh, k, canonical, acc_capacity, slack)
+
+    start = 0
+    overflow = jnp.zeros((), jnp.int32)
+    if resumable is not None and resumable.acc is not None:
+        if resumable.mesh_shape != mesh_shape:
+            raise ValueError(
+                f"checkpoint mesh {resumable.mesh_shape} != current {mesh_shape}"
+            )
+        spec = P((AXIS_DATA, AXIS_SEQ))
+        sh = NamedSharding(mesh, spec)
+        r = resumable.acc
+        acc = WideCounts(
+            hi=jax.device_put(r.hi, sh), lo=jax.device_put(r.lo, sh),
+            length=jax.device_put(r.length, sh),
+            counts_hi=jax.device_put(r.counts_hi, sh),
+            counts_lo=jax.device_put(r.counts_lo, sh),
+            n_unique=jax.device_put(jnp.asarray(int(r.n_unique), jnp.int32),
+                                    NamedSharding(mesh, P())),
+        )
+        start = resumable.batches_done
+        overflow = overflow + resumable.overflow
+    else:
+        acc = empty_sharded_acc(mesh, acc_capacity)
+
+    done = 0
+    for i, (codes, lengths) in enumerate(batches):
+        if i < start:
+            continue
+        acc, overflow = step(acc, overflow, jnp.asarray(codes),
+                             jnp.asarray(lengths))
+        done = i + 1
+        if stats is not None:
+            nb = int(np.asarray(lengths).sum())
+            stats.record_batch(codes.shape[0], nb,
+                               max(nb - (k - 1) * codes.shape[0], 0), 0)
+        if resumable is not None and done % ckpt_every == 0:
+            resumable.checkpoint(acc, done, int(overflow), mesh_shape)
+            log.info("checkpointed at batch %d", done)
+    if done == 0 and start == 0:
+        raise ValueError("empty batch stream")
+    if resumable is not None and done > resumable.batches_done:
+        resumable.checkpoint(acc, done, int(overflow), mesh_shape)
+    return acc, int(overflow)
+
+
+def batches_of(codes: np.ndarray, lengths: np.ndarray, batch: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Slice one big [N, L] read array into fixed [batch, L] steps
+    (tail padded with zero-length reads so every step has one shape)."""
+    n = codes.shape[0]
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        if e - s == batch:
+            yield codes[s:e], lengths[s:e]
+        else:
+            c = np.zeros((batch, codes.shape[1]), codes.dtype)
+            l = np.zeros((batch,), np.int32)
+            c[: e - s] = codes[s:e]
+            l[: e - s] = lengths[s:e]
+            yield c, l

@@ -37,13 +37,15 @@ def save_table(table: CountTable, path: str, meta: dict | None = None) -> None:
 def load_table(path: str) -> tuple[CountTable, dict]:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
-        hi = z["hi"]
+        counts = z["counts"].astype(np.int32)
         table = CountTable(
-            hi=hi,
+            hi=z["hi"],
             lo=z["lo"],
             length=z["length"],
-            counts=z["counts"].astype(np.int32),
-            n_unique=np.int64(hi.size),
+            counts=counts,
+            # derive from the data: an untrimmed (numpy) table saved by
+            # save_table may contain dead slots, so hi.size would lie
+            n_unique=np.int64((counts > 0).sum()),
         )
     return table, meta
 
