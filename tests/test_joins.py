@@ -56,6 +56,39 @@ def test_join_pattern_matches_oracle(cols):
     assert [tuple(p) for p in got] == want
 
 
+def test_join_eq_scale_10k():
+    """10k x 10k eq join vs a hash-map oracle (kmer-test.sql joins at scale)."""
+    rows_l = generate_test_rows(10_000, seed=11)
+    rows_r = generate_test_rows(10_000, seed=12)
+    left = [r[1].lower() for r in rows_l]
+    right = [r[1].lower() for r in rows_r]
+    got = join_eq(PackedKmers.from_strings(left), PackedKmers.from_strings(right))
+    by_val: dict = {}
+    for j, b in enumerate(right):
+        by_val.setdefault(b, []).append(j)
+    want = sorted((i, j) for i, a in enumerate(left) for j in by_val.get(a, ()))
+    assert got.shape[0] == len(want)
+    assert [tuple(p) for p in got] == want
+
+
+def test_join_starts_with_scale_10k():
+    """10k x 10k prefix join vs a prefix-map oracle."""
+    rows_l = generate_test_rows(10_000, seed=13)
+    rows_r = generate_test_rows(10_000, seed=14)
+    left = [r[1].lower()[:6] for r in rows_l]  # short prefixes -> real fanout
+    right = [r[1].lower() for r in rows_r]
+    got = join_right_starts_with_left(
+        PackedKmers.from_strings(left), PackedKmers.from_strings(right)
+    )
+    by_prefix: dict = {}
+    for j, b in enumerate(right):
+        for p in range(len(b) + 1):
+            by_prefix.setdefault(b[:p], []).append(j)
+    want = sorted((i, j) for i, a in enumerate(left) for j in by_prefix.get(a, ()))
+    assert got.shape[0] == len(want)
+    assert [tuple(p) for p in got] == want
+
+
 def test_outer_extend():
     pairs = np.array([[0, 1], [2, 0]], np.int64)
     rows = outer_extend(pairs, n_left=4, n_right=3, how="left")
