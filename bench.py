@@ -25,7 +25,7 @@ def main() -> int:
     from kmer_tpu.bench import run_bench, run_bench_stream, run_chr_bench, run_query_bench
 
     n_reads = int(os.environ.get("KMER_BENCH_READS", 1 << 20))
-    mode = os.environ.get("KMER_BENCH_MODE", "unpack")
+    mode = os.environ.get("KMER_BENCH_MODE", "fused")
     if mode == "chr":  # BASELINE configs[4] shape: ~250 Mbp, k=31
         result = run_chr_bench()
     elif mode == "query":  # BASELINE configs[2]: index lookups

@@ -28,95 +28,114 @@ import numpy as np
 
 REFERENCE_KMERS_PER_S = 1.3e6
 
+# HBM speed-of-light per chip for the SoL accounting (SURVEY.md §5.1).
+# v5e ~819 GB/s; override via detail inspection if the bench runs on a
+# different part — the absolute %SoL shifts, the phase ratios don't.
+HBM_BYTES_PER_S = 819e9
+
+
+def _sol(nbytes: float, dt: float) -> dict:
+    return {
+        "gb_per_s": round(nbytes / dt / 1e9, 1),
+        "pct_sol": round(100 * nbytes / dt / HBM_BYTES_PER_S, 1),
+    }
+
 
 def run_bench(
     n_reads: int = 1 << 20,
     read_len: int = 150,
     k: int = 21,
     canonical: bool = True,
-    chunk_reads: int = 1 << 17,
     seed: int = 0,
 ) -> dict:
+    """Headline: ONE fused jit — unpack -> extract -> canonicalize -> count.
+
+    Reads are full-length, so every window is valid: no sentinel slots,
+    no validity mask, exactly n_reads*(read_len-k+1) windows go through
+    the group sort (ops/count.py group_sort_pairs: 1-key lax.sort +
+    in-run odd-even fixup — measured 573M vs 364M elt/s for the 2-key
+    sort on v5e, scripts/probe_r2.py).
+
+    Detail carries a per-phase breakdown (extract / sort / segment
+    counts, each timed as its own jit on the same data) with minimal
+    HBM-traffic GB/s and %-of-speed-of-light per phase.
+    """
     import jax
     import jax.numpy as jnp
 
-    from .ops.count import count_windows
+    from .ops.count import count_windows, group_sort_pairs
     from .ops.extract import canonicalize, extract_windows_batch, simulate_reads
 
     from .native import device_unpack_rows, pack2bit_rows
 
-    chunk_reads = min(chunk_reads, n_reads)
-    n_chunks = (n_reads + chunk_reads - 1) // chunk_reads
     wpr = read_len - k + 1
     total = n_reads * wpr
 
-    # host-side 2-bit packing (the native loader's wire format): 4x less
-    # host->device traffic than byte codes
-    host_chunks = [
-        pack2bit_rows(simulate_reads(chunk_reads, read_len, seed=seed + i))
-        for i in range(n_chunks)
-    ]
-    lengths = jnp.full((chunk_reads,), read_len, jnp.int32)
+    words_host = pack2bit_rows(simulate_reads(n_reads, read_len, seed=seed))
+    lengths = jnp.full((n_reads,), read_len, jnp.int32)
 
-    def extract_place(buf_hi, buf_lo, words, lengths, start):
-        """Fused per-chunk step: unpack -> windows -> canonical -> place.
-
-        Placement buffers are donated, so the dynamic_update_slice writes
-        in place instead of copying the full [total] buffers each chunk.
-        """
-        codes = device_unpack_rows(words, read_len)
-        wins, valid = extract_windows_batch(codes, lengths, k)
+    def extract_all(w):
+        codes = device_unpack_rows(w, read_len)
+        wins, _ = extract_windows_batch(codes, lengths, k)  # valid is DCE'd
         hi, lo = wins.hi, wins.lo
         if canonical:
             hi, lo = canonicalize(hi, lo, k)
-        del valid  # full-length reads: every window valid
-        return (
-            jax.lax.dynamic_update_slice(buf_hi, hi.ravel(), (start,)),
-            jax.lax.dynamic_update_slice(buf_lo, lo.ravel(), (start,)),
-        )
+        return hi.ravel(), lo.ravel()
 
-    extract_place_j = jax.jit(extract_place, donate_argnums=(0, 1))
+    def count_all(w):
+        hi, lo = extract_all(w)
+        return count_windows(hi, lo, None, k)
 
-    # full-length reads -> every window valid -> 2-operand sort fast path
-    count_j = jax.jit(lambda h, l: count_windows(h, l, None, k))
+    count_j = jax.jit(count_all)
 
-    def pipeline(chunks):
-        buf_hi = jnp.zeros((total,), jnp.uint32)
-        buf_lo = jnp.zeros((total,), jnp.uint32)
-        for i in range(n_chunks):
-            buf_hi, buf_lo = extract_place_j(
-                buf_hi, buf_lo, jnp.asarray(chunks[i]), lengths,
-                i * chunk_reads * wpr,
-            )
-        table = count_j(buf_hi, buf_lo)
-        return int(table.n_unique)  # host sync = true completion
+    def sync(x):
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0]))
 
-    # --- warmup / compile (off the clock)
-    pipeline(host_chunks[:1] * n_chunks)
-
-    # --- host-wire pass (end to end: host wire-format chunks -> table)
+    # --- host-wire pass (end to end incl. transfer; compiles off-clock)
+    int(count_j(jnp.asarray(words_host)).n_unique)  # warmup
     t0 = time.perf_counter()
-    n_unique = pipeline(host_chunks)
-    dt = time.perf_counter() - t0
+    table = count_j(jnp.asarray(words_host))
+    n_unique = int(table.n_unique)
+    dt_wire = time.perf_counter() - t0
 
-    # --- device-resident pass: input already in HBM (isolates the engine
-    # from the host link; this environment's tunnel moves ~36 MB/s where
-    # a production host NIC/PCIe does tens of GB/s)
-    dev_chunks = [jnp.asarray(c) for c in host_chunks]
-    np.asarray(dev_chunks[-1][-1:, -1:])
+    # --- device-resident headline: input already in HBM (the engine
+    # itself; this environment's host tunnel moves ~36 MB/s, ~1000x
+    # below a production NIC/PCIe, so the wire pass measures the tunnel)
+    words = jnp.asarray(words_host)
+    sync(words)
     t0 = time.perf_counter()
-    n_unique2 = pipeline(dev_chunks)
+    n_unique2 = int(count_j(words).n_unique)
     dt_dev = time.perf_counter() - t0
     assert n_unique2 == n_unique
 
-    # Headline = the device-resident pipeline (input in HBM): measures the
-    # engine itself.  The host-wire path is kept in detail — in this
-    # environment the axon tunnel moves ~36 MB/s, ~1000x below a
-    # production host NIC/PCIe, so it measures the tunnel, not the engine.
-    out = _result(total, dt_dev, n_reads, read_len, k, canonical, n_chunks,
-                  n_unique, mode="unpack")
-    out["detail"]["host_wire_kmers_per_s"] = round(total / dt, 1)
-    out["detail"]["host_wire_wall_s"] = round(dt, 3)
+    # --- per-phase breakdown on the same data (separate jits; the
+    # fused headline overlaps some of these, so phases sum >= headline)
+    extract_j = jax.jit(lambda w: [jnp.max(v) for v in extract_all(w)])
+    hi, lo = jax.jit(extract_all)(words)
+    sync(hi)
+    lo16 = (lo >> jnp.uint32(16)).astype(jnp.uint16)
+    sort_j = jax.jit(lambda a, b: group_sort_pairs(a, b)[0][:8])
+    count_only_j = jax.jit(lambda a, b: count_windows(a, b, None, k).n_unique)
+    phases = {}
+    for name, fn, args, nbytes in [
+        # minimal HBM traffic models: read + write, ignoring XLA's extra
+        ("extract", extract_j, (words,), words.nbytes + total * 8),
+        ("sort", sort_j, (hi, lo16), 2 * total * 6),
+        ("count", count_only_j, (hi, lo), total * 8 + 2 * total * 6),
+    ]:
+        fn(*args)  # compile
+        sync(fn(*args))
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        dt = time.perf_counter() - t0
+        phases[name] = {"ms": round(dt * 1e3, 1), **_sol(nbytes, dt)}
+
+    out = _result(total, dt_dev, n_reads, read_len, k, canonical, 1,
+                  n_unique, mode="fused")
+    out["detail"]["host_wire_kmers_per_s"] = round(total / dt_wire, 1)
+    out["detail"]["host_wire_wall_s"] = round(dt_wire, 3)
+    out["detail"]["phases"] = phases
+    out["detail"]["hbm_sol_bytes_per_s"] = HBM_BYTES_PER_S
     return out
 
 

@@ -127,15 +127,105 @@ def _boundaries(shi, slo, sln):
     )
 
 
-def _use_pallas_counts() -> bool:
-    """Post-sort counting backend: Pallas kernel on TPU, XLA scans elsewhere.
+def _use_group_sort() -> bool:
+    """1-key sort + in-segment fixup vs plain 2-key sort (see group_sort_pairs).
 
-    The XLA boundary/cummin/cumsum chain costs ~25% of the whole count in
-    unfused HBM passes; pallas/segment_counts.py does it in one.  Decided
-    at trace time; KMER_TPU_NO_PALLAS_COUNTS=1 forces the XLA path.
+    Measured on TPU v5e (scripts/probe_r2.py): a 2-key lax.sort of
+    (u32, u16) runs at 364M elt/s while a 1-key sort with the same data
+    as payload runs at 573M — XLA's sort cost scales with comparator
+    *keys*, payload lanes are nearly free.  KMER_TPU_NO_GROUPSORT=1
+    forces the plain 2-key sort.
     """
     import os
 
+    return not os.environ.get("KMER_TPU_NO_GROUPSORT")
+
+
+_FIXUP_ITERS = 8  # fixed even+odd sweeps: sorts equal-hi runs up to 16 long
+
+
+def group_sort_pairs(hi, lo):
+    """Sort (hi, lo) pairs lexicographically — grouping engine of the counts.
+
+    Strategy: lax.sort by hi alone (num_keys=1, lo rides as payload),
+    then restore lo order *within equal-hi runs* with a fixed number of
+    vectorized odd-even transposition sweeps.  Equal-hi runs are tiny
+    for high-entropy keys (max multiplicity of ~2^27 draws from 2^32
+    bins is ~8), so _FIXUP_ITERS even+odd sweeps sort every run — and,
+    measured on v5e (scripts/probe_gs.py), the sweeps are FREE: sort1 +
+    16 fused elementwise sweeps ran 294.6ms vs 294.6ms for sort1 alone
+    and 505.3ms for the 2-key sort on the same canonical-k=21 data.
+    The sweep count must be static: a lax.while_loop with an any(swap)
+    convergence reduction measured 495.8ms — the per-iteration
+    reductions serialize the loop and erase the entire win.
+
+    A final sortedness check feeds an in-graph lax.cond that falls back
+    to the full 2-key sort when some run exceeds 2*_FIXUP_ITERS
+    (heavily skewed hi, e.g. poly-A genomes) — exactness never depends
+    on the data distribution.
+
+    Returns (shi, slo) ascending by (hi, lo); bit-identical to
+    lax.sort((hi, lo), num_keys=2).
+    """
+    if not _use_group_sort():
+        return jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
+    n = hi.shape[0]
+    if n < 2:
+        return hi, lo
+    shi, slo = jax.lax.sort((hi, lo), num_keys=1, is_stable=False)
+    eqv = shi[1:] == shi[:-1]  # hi fixed from here on
+    par = jnp.arange(n - 1, dtype=jnp.int32) & 1
+    eq0 = eqv & (par == 0)
+    eq1 = eqv & (par == 1)
+
+    def sweep(lo_c, eqp):
+        do = eqp & (lo_c[:-1] > lo_c[1:])
+        # element i swaps down if do[i], up if do[i-1]
+        up = jnp.concatenate([jnp.zeros((1,), bool), do])
+        down = jnp.concatenate([do, jnp.zeros((1,), bool)])
+        nxt = jnp.concatenate([lo_c[1:], lo_c[-1:]])
+        prv = jnp.concatenate([lo_c[:1], lo_c[:-1]])
+        return jnp.where(down, nxt, jnp.where(up, prv, lo_c))
+
+    slo = jax.lax.fori_loop(
+        0, _FIXUP_ITERS, lambda _, l: sweep(sweep(l, eq0), eq1), slo
+    )
+    unsorted = jnp.any(eqv & (slo[:-1] > slo[1:]))
+    return jax.lax.cond(
+        unsorted,
+        lambda h, l: jax.lax.sort((h, l), num_keys=2, is_stable=False),
+        lambda h, l: (h, l),
+        shi, slo,
+    )
+
+
+_PALLAS_COUNTS_OVERRIDE: bool | None = None  # None = auto (on when on TPU)
+
+
+def set_pallas_counts(enabled: bool | None) -> None:
+    """Gate the Pallas segment-count kernel (EngineConfig.use_pallas hook).
+
+    None restores auto (kernel on TPU, XLA scans elsewhere); False forces
+    the XLA scan path everywhere; True is the same as auto — the kernel
+    still requires a TPU backend to lower.
+    """
+    global _PALLAS_COUNTS_OVERRIDE
+    _PALLAS_COUNTS_OVERRIDE = enabled
+
+
+def _use_pallas_counts() -> bool:
+    """Post-sort counting backend: Pallas kernel on TPU, XLA scans elsewhere.
+
+    The XLA boundary/cummin/cumsum chain runs at 1621M elt/s in unfused
+    HBM passes; pallas/segment_counts.py does it in one at 3710M
+    (scripts/probe_r2.py D/D2).  Decided at trace time; disable via
+    set_pallas_counts(False) / EngineConfig(use_pallas=False).activate()
+    or KMER_TPU_NO_PALLAS_COUNTS=1.
+    """
+    import os
+
+    if _PALLAS_COUNTS_OVERRIDE is False:
+        return False
     if os.environ.get("KMER_TPU_NO_PALLAS_COUNTS"):
         return False
     try:
@@ -180,12 +270,12 @@ def count_windows(hi, lo, valid, k: int) -> CountTable:
         neq = lambda: shi[1:] != shi[:-1]  # noqa: E731
     elif k <= (23 if masked else 24):
         lo16 = (lo >> jnp.uint32(16)).astype(jnp.uint16)
-        shi, slo16 = jax.lax.sort((hi, lo16), num_keys=2, is_stable=False)
+        shi, slo16 = group_sort_pairs(hi, lo16)
         slo = slo16.astype(jnp.uint32) << jnp.uint32(16)
         sent = (int(SENTINEL), 0xFFFF0000) if masked else None
         neq = lambda: (shi[1:] != shi[:-1]) | (slo16[1:] != slo16[:-1])  # noqa: E731
     elif k < 32 or not masked:
-        shi, slo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
+        shi, slo = group_sort_pairs(hi, lo)
         sent = (int(SENTINEL), int(SENTINEL)) if masked else None
         neq = lambda: (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])  # noqa: E731
     else:

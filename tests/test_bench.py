@@ -9,28 +9,29 @@ from kmer_tpu.codec import decode_codes
 from kmer_tpu.ops.extract import extract_to_strings, simulate_reads
 
 
-def _oracle_unique(n_reads, read_len, k, chunk_reads, seed=0):
+def _oracle_unique(n_reads, read_len, k, seed=0):
     comp = {"a": "t", "c": "g", "g": "c", "t": "a"}
     want = collections.Counter()
-    n_chunks = (n_reads + chunk_reads - 1) // chunk_reads
-    for i in range(n_chunks):
-        reads = simulate_reads(chunk_reads, read_len, seed=seed + i)
-        for row in reads:
-            for km in extract_to_strings(decode_codes(row), k):
-                rc = "".join(comp[c] for c in reversed(km))
-                want[min(km, rc)] += 1
+    reads = simulate_reads(n_reads, read_len, seed=seed)
+    for row in reads:
+        for km in extract_to_strings(decode_codes(row), k):
+            rc = "".join(comp[c] for c in reversed(km))
+            want[min(km, rc)] += 1
     return len(want)
 
 
 class TestBenchHarness:
-    def test_unpack_mode_exact(self):
-        r = run_bench(n_reads=512, read_len=48, k=8, chunk_reads=256)
-        assert r["detail"]["unique_kmers"] == _oracle_unique(512, 48, 8, 256)
+    def test_fused_mode_exact(self):
+        r = run_bench(n_reads=512, read_len=48, k=8)
+        assert r["detail"]["unique_kmers"] == _oracle_unique(512, 48, 8)
         assert r["detail"]["total_kmers"] == 512 * 41
         assert r["value"] > 0 and r["vs_baseline"] > 0
+        assert set(r["detail"]["phases"]) == {"extract", "sort", "count"}
+        for ph in r["detail"]["phases"].values():
+            assert ph["ms"] > 0 and ph["gb_per_s"] > 0
 
-    def test_stream_mode_matches_unpack(self):
-        a = run_bench(n_reads=512, read_len=48, k=21, chunk_reads=256)
+    def test_stream_mode_matches_fused(self):
+        a = run_bench(n_reads=512, read_len=48, k=21)
         b = run_bench_stream(n_reads=512, read_len=48, k=21)
         assert a["detail"]["unique_kmers"] == b["detail"]["unique_kmers"]
 

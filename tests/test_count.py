@@ -203,3 +203,52 @@ class TestSortWidthPaths:
             table = count_windows(wins.hi, wins.lo, valid, k)
             want = {"t" * k: (36 - k + 1) + 1}
             assert table.to_dict() == want, k
+
+
+class TestGroupSortPairs:
+    """1-key sort + odd-even fixup vs the plain 2-key sort oracle."""
+
+    def _oracle(self, hi, lo):
+        import jax
+
+        return jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2,
+                            is_stable=False)
+
+    def test_random_pairs_bit_identical(self):
+        from kmer_tpu.ops.count import group_sort_pairs
+
+        rng = np.random.default_rng(0)
+        for n, dt in [(1, np.uint16), (2, np.uint16), (4097, np.uint16),
+                      (5000, np.uint32)]:
+            hi = rng.integers(0, 1 << 8, n).astype(np.uint32)  # force collisions
+            lo = rng.integers(0, np.iinfo(dt).max, n, dtype=np.uint64).astype(dt)
+            got = group_sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
+            want = self._oracle(hi, lo)
+            assert np.array_equal(got[0], want[0])
+            assert np.array_equal(got[1], want[1])
+
+    def test_skewed_hi_falls_back_exactly(self):
+        """One giant equal-hi run (> 2*_FIXUP_MAX_ITERS): cond fallback."""
+        from kmer_tpu.ops.count import group_sort_pairs
+
+        rng = np.random.default_rng(1)
+        n = 4096
+        hi = np.zeros(n, np.uint32)  # single run of length n
+        hi[: n // 4] = rng.integers(0, 100, n // 4)
+        lo = rng.integers(0, 1 << 16, n).astype(np.uint16)
+        got = group_sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
+        want = self._oracle(hi, lo)
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_presorted_and_constant(self):
+        from kmer_tpu.ops.count import group_sort_pairs
+
+        hi = np.arange(100, dtype=np.uint32)
+        lo = np.zeros(100, np.uint16)
+        got = group_sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
+        assert np.array_equal(got[0], hi) and np.array_equal(got[1], lo)
+        hi2 = np.zeros(64, np.uint32)
+        lo2 = np.arange(64, dtype=np.uint16)[::-1].copy()
+        got2 = group_sort_pairs(jnp.asarray(hi2), jnp.asarray(lo2))
+        assert np.array_equal(got2[1], np.sort(lo2))
