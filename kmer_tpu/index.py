@@ -224,6 +224,27 @@ def searchsorted_packed(shi, slo, sln, qhi, qlo, qln, side: str = "left",
     return lo_b
 
 
+def prefix_upper_key(qhi, qlo, qln):
+    """Exclusive upper-bound key of a packed prefix: pack(p) + 4^(32-|p|).
+
+    Returns (uhi, ulo, wrapped); wrapped is true where the bound is 2^64
+    (the all-t full-length prefix), meaning the range extends to the end.
+    Carried across the two uint32 lanes — no uint64 needed on TPU.
+    """
+    qhi = jnp.asarray(qhi, jnp.uint32)
+    qlo = jnp.asarray(qlo, jnp.uint32)
+    qln = jnp.asarray(qln, jnp.int32)
+    shift_hi = jnp.clip(32 - 2 * qln, 0, 31).astype(jnp.uint32)
+    shift_lo = jnp.clip(64 - 2 * qln, 0, 31).astype(jnp.uint32)
+    inc_hi = jnp.where(qln <= 16, jnp.uint32(1) << shift_hi, jnp.uint32(0))
+    inc_lo = jnp.where(qln > 16, jnp.uint32(1) << shift_lo, jnp.uint32(0))
+    ulo = qlo + inc_lo
+    carry = (ulo < qlo).astype(jnp.uint32)
+    uhi = qhi + inc_hi + carry
+    wrapped = uhi < qhi
+    return uhi, ulo, wrapped
+
+
 def device_sort_column(col: PackedKmers) -> tuple[PackedKmers, jnp.ndarray]:
     """On-device index build: sort (hi, lo, length) + carry row ids."""
     n = col.hi.shape[0]
@@ -305,15 +326,7 @@ class DeviceIndex:
         left = searchsorted_packed(
             self.hi, self.lo, self.length, qhi, qlo, qln, side="left", fence=fence
         )
-        # upper key = pack(p) + 2^(64-2p), carried across the two lanes
-        shift_hi = jnp.clip(32 - 2 * qln, 0, 31).astype(jnp.uint32)
-        shift_lo = jnp.clip(64 - 2 * qln, 0, 31).astype(jnp.uint32)
-        inc_hi = jnp.where(qln <= 16, jnp.uint32(1) << shift_hi, jnp.uint32(0))
-        inc_lo = jnp.where(qln > 16, jnp.uint32(1) << shift_lo, jnp.uint32(0))
-        ulo = qlo + inc_lo
-        carry = (ulo < qlo).astype(jnp.uint32)
-        uhi = qhi + inc_hi + carry
-        wrapped = uhi < qhi  # pack(p) + span = 2^64: range extends to the end
+        uhi, ulo, wrapped = prefix_upper_key(qhi, qlo, qln)
         right = searchsorted_packed(
             self.hi,
             self.lo,

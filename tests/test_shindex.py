@@ -1,0 +1,64 @@
+"""Sharded index serving vs the host index oracle (8-shard CPU mesh).
+
+The parity contract is kmer-tests.sql TEST 14's index==scan equivalence,
+here at the pod-scale layout: per-shard local sorts, shard-relative
+ranges, global row-id union.
+"""
+
+import numpy as np
+import pytest
+
+from kmer_tpu.index import KmerIndex
+from kmer_tpu.io import generate_test_rows
+from kmer_tpu.packed import PackedKmers
+from kmer_tpu.parallel import make_mesh
+from kmer_tpu.parallel.shindex import ShardedIndex
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rows = generate_test_rows(4096, seed=21)
+    kmers = [r[1].lower() for r in rows] + ["acga", "acga", "", "t" * 32]
+    col = PackedKmers.from_strings(kmers)
+    mesh = make_mesh((8, 1))
+    return kmers, KmerIndex.build(col), ShardedIndex.build(col, mesh)
+
+
+def test_build_shards_and_padding(setup):
+    kmers, _, sidx = setup
+    assert len(sidx) == len(kmers)
+    live = np.asarray(sidx.live)
+    assert live.sum() == len(kmers)
+    assert live.size == 8
+
+
+def test_eq_matches_host_index(setup):
+    kmers, host, sidx = setup
+    rng = np.random.default_rng(0)
+    probes = [kmers[i] for i in rng.integers(0, len(kmers), 32)] + [
+        "acga", "", "t" * 32, "c" * 31  # absent key
+    ]
+    got = sidx.search_eq(probes, cap=4)  # tiny cap: force auto-regrow
+    for p, g in zip(probes, got):
+        want = host.search_eq(p)
+        assert g.tolist() == want.tolist(), p
+
+
+def test_prefix_matches_host_index(setup):
+    kmers, host, sidx = setup
+    rng = np.random.default_rng(1)
+    probes = [kmers[i][: int(rng.integers(1, max(len(kmers[i]), 2)))]
+              for i in rng.integers(0, len(kmers), 24) if kmers[i]]
+    probes += ["", "a", "t" * 32, "ttt"]
+    got = sidx.search_prefix(probes, cap=8)
+    for p, g in zip(probes, got):
+        want = host.search_prefix(p)
+        assert g.tolist() == want.tolist(), p
+
+
+def test_exact_counts_even_when_capped(setup):
+    kmers, host, sidx = setup
+    # counts come from psum(right-left): exact regardless of cap
+    rows, count = sidx._lookup("prefix", ["", "a"], cap=2048)
+    assert count[0] == len(kmers)
+    assert count[1] == len(host.search_prefix("a"))
