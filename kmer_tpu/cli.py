@@ -143,6 +143,11 @@ def _cmd_query(args) -> int:
 
 
 def _cmd_bench(args) -> int:
+    from .config import EngineConfig
+
+    EngineConfig(k=args.k, canonical=not args.no_canonical,
+                 read_len=args.read_len,
+                 use_pallas=not args.no_pallas).activate()
     if args.queries:
         from .bench import run_query_bench
 
@@ -192,9 +197,12 @@ def _cmd_selftest(args) -> int:
 
 
 def _cmd_parity(args) -> int:
-    from .parity import run_parity
+    from .parity import run_parity, run_scale_parity
 
-    return 0 if run_parity() else 1
+    ok = run_parity()
+    if args.scale:
+        ok = run_scale_parity(n_rows=args.scale) and ok
+    return 0 if ok else 1
 
 
 def main(argv=None) -> int:
@@ -242,7 +250,9 @@ def main(argv=None) -> int:
     b.add_argument("--read-len", type=int, default=150)
     b.add_argument("-k", type=int, default=21)
     b.add_argument("--no-canonical", action="store_true")
-    b.add_argument("--mode", choices=["unpack", "stream", "chr"], default="unpack")
+    b.add_argument("--no-pallas", action="store_true",
+                   help="force the XLA segment-count path (no Pallas kernel)")
+    b.add_argument("--mode", choices=["fused", "stream", "chr"], default="fused")
     b.add_argument("--queries", action="store_true",
                    help="benchmark index lookups instead of counting")
     b.set_defaults(fn=_cmd_bench)
@@ -251,6 +261,10 @@ def main(argv=None) -> int:
     s.set_defaults(fn=_cmd_selftest)
 
     pr = sub.add_parser("parity", help="run the reference-suite parity checks")
+    pr.add_argument("--scale", type=int, default=0, metavar="N",
+                    help="also run the N-row scale parity (scan==index=="
+                         "oracle, GROUP BY oracle; use 100000 for the "
+                         "reference suite's real size)")
     pr.set_defaults(fn=_cmd_parity)
 
     args = p.parse_args(argv)

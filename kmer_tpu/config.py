@@ -23,7 +23,9 @@ class EngineConfig:
     chunk_reads:  reads per device batch for streaming counts.
     read_len:     padded read length for batched pipelines.
     mesh_shape:   (data, seq) device mesh extents; None = single device.
-    use_pallas:   use the fused Pallas extraction kernel when on TPU.
+    use_pallas:   use the Pallas segment-count kernel for post-sort
+                  counting on TPU (2.3x the XLA scan chain, probe_r2 D);
+                  False forces the XLA path.  Takes effect via activate().
     """
 
     k: int = 21
@@ -38,6 +40,13 @@ class EngineConfig:
             from .errors import InvalidKmerLengthError
 
             raise InvalidKmerLengthError()
+
+    def activate(self) -> "EngineConfig":
+        """Apply runtime-effective settings to the engine (idempotent)."""
+        from .ops.count import set_pallas_counts
+
+        set_pallas_counts(None if self.use_pallas else False)
+        return self
 
     def windows_per_read(self) -> int:
         return self.read_len - self.k + 1

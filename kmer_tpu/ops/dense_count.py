@@ -36,6 +36,25 @@ DENSE_MAX_K = 10
 DENSE_ROUTE_K = 6  # auto-routing threshold: dense beats sort up to here
 _BLOCK = 1 << 16  # windows per one-hot block
 
+# f32 accumulation of 0/1 products is exact strictly below 2^24 per bin;
+# at exactly 2^24 the next +1 is rounded away (silent saturation), so an
+# observed count of 2^24 is ambiguous and must be rejected.
+DENSE_EXACT_LIMIT = 1 << 24
+
+
+def check_dense_exact(table: CountTable) -> CountTable:
+    """Raise if any bin may have saturated f32 accumulation (host-side).
+
+    Saturation is detectable post-hoc: +1 accumulation cannot pass
+    2^24, so a saturated bin reads exactly DENSE_EXACT_LIMIT.
+    """
+    if int(np.max(np.asarray(table.counts), initial=0)) >= DENSE_EXACT_LIMIT:
+        raise ValueError(
+            "dense histogram bin reached 2^24: f32 accumulation saturates "
+            "beyond this — recount via the sort path (count_kmers)"
+        )
+    return table
+
 
 def _split_bits(k: int) -> tuple[int, int]:
     """Split 2k key bits into (hi_bits, lo_bits) halves, each <= 10 bits."""

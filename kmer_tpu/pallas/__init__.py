@@ -1,1 +1,5 @@
-from .extract_kernel import extract_stream_pallas, pallas_available  # noqa: F401
+from .segment_counts import _PALLAS_OK, segment_counts_sorted  # noqa: F401
+
+
+def pallas_available() -> bool:
+    return _PALLAS_OK

@@ -21,21 +21,45 @@ def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    strict: bool | None = None,
+    timeout_s: int = 300,
 ) -> bool:
     """Initialize the jax distributed runtime; returns True if multi-host.
 
     With no arguments, relies on the environment (TPU pod metadata or
-    JAX_COORDINATOR_ADDRESS etc.).  Safe to call on a single host: any
-    initialization failure degrades to single-process mode.
+    JAX_COORDINATOR_ADDRESS etc.) and degrades to single-process mode
+    with a logged warning if that auto-detection fails.  When any
+    argument is given explicitly — i.e. the caller *asked* for a
+    specific pod topology — a failure raises instead of silently
+    shrinking the job to one process (strict defaults to True then;
+    pass strict=False to opt back into best-effort).
     """
+    explicit = any(
+        x is not None for x in (coordinator_address, num_processes, process_id)
+    )
+    if strict is None:
+        strict = explicit
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=timeout_s,
         )
         return jax.process_count() > 1
-    except Exception:
+    except Exception as e:
+        if strict:
+            raise RuntimeError(
+                "multi-host initialization failed for the requested topology "
+                f"(coordinator={coordinator_address!r}, "
+                f"num_processes={num_processes}, process_id={process_id}): {e}"
+            ) from e
+        from ..utils.logging import get_logger
+
+        get_logger().warning(
+            "jax.distributed.initialize failed (%s); continuing single-process",
+            e,
+        )
         return False
 
 

@@ -177,3 +177,117 @@ def run_parity(verbose: bool = True) -> bool:
             print(f"FAIL  {name}")
             traceback.print_exc()
     return ok
+
+
+# --- scale parity (kmer-tests.sql TEST 14 at its real size) -------------------
+#
+# The reference's authoritative evidence is 100k-row behavior: CSV COPY
+# + seq-scan vs index-scan equivalence (kmer-tests.sql:1229-1353) and
+# GROUP BY over the full table (:1158-1214).  run_scale_parity replays
+# that at any row count against randomized probes and a pure-Python
+# oracle; `python -m kmer_tpu parity --scale 100000` is the CLI form.
+
+
+def _scale_oracles(rows, probes_eq, probes_pre, probes_pat):
+    """Brute-force reference model (pure Python, the 'Postgres stand-in')."""
+    import collections
+
+    from .ops.predicates import contains, equals, starts_with_op
+
+    kmers = [r[1].lower() for r in rows]
+    eq = {q: {i for i, s in enumerate(kmers) if equals(s, q)} for q in probes_eq}
+    pre = {
+        q: {i for i, s in enumerate(kmers) if starts_with_op(s, q)}
+        for q in probes_pre
+    }
+    pat = {
+        q: {i for i, s in enumerate(kmers) if contains(q, s)} for q in probes_pat
+    }
+    group = dict(collections.Counter(kmers))
+    return eq, pre, pat, group
+
+
+def run_scale_parity(
+    n_rows: int = 100_000, seed: int = 100, n_probes: int = 48,
+    verbose: bool = True,
+) -> bool:
+    """Reference-scale equivalence: CSV round trip, scan == index == oracle
+    on all four operators, GROUP BY == Counter oracle.
+
+    Matches kmer-tests.sql:1229-1353 (TEST 14 at 100k rows) and
+    :1107-1214 (TEST 12-13) without a Postgres install: the oracle is a
+    per-row pure-Python evaluation of the reference semantics.
+    """
+    import os
+    import random
+    import tempfile
+
+    from .api import KmerTable
+    from .io import generate_test_rows, rows_to_csv
+
+    rows = generate_test_rows(n_rows, seed=seed)
+
+    # CSV COPY round trip (kmer-tests.sql:1229-1233)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sequences.csv")
+        rows_to_csv(rows, path)
+        table = KmerTable.from_csv(path)
+    assert len(table) == n_rows, "CSV round trip dropped rows"
+
+    rng = random.Random(seed + 1)
+    stored = [r[1].lower() for r in rows]
+    probes_eq = [stored[rng.randrange(n_rows)] for _ in range(n_probes)]
+    probes_eq += ["acga", "", "t" * 32, "c" * 31]  # likely-absent + edges
+    probes_pre = [s[: rng.randint(1, len(s))] for s in probes_eq[:n_probes] if s]
+    probes_pre += ["", "a", "acga", "t" * 32]
+    probes_pat = [r[2].lower() for r in rows[:: max(1, n_rows // n_probes)]][
+        :n_probes
+    ]
+    probes_pat += ["n" * 8, "angry", "u", "r" * 32]
+
+    eq_o, pre_o, pat_o, group_o = _scale_oracles(
+        rows, set(probes_eq), set(probes_pre), set(probes_pat)
+    )
+
+    ok = True
+
+    def check(name, cond):
+        nonlocal ok
+        if not cond:
+            ok = False
+            print(f"FAIL  scale: {name}")
+        elif verbose:
+            print(f"PASS  scale: {name}")
+
+    # scan path vs oracle
+    check("scan = (eq)", all(
+        set(table.scan_eq(q).tolist()) == eq_o[q] for q in set(probes_eq)
+    ))
+    check("scan ^@ (prefix)", all(
+        set(table.scan_prefix(q).tolist()) == pre_o[q] for q in set(probes_pre)
+    ))
+    check("scan @> (pattern)", all(
+        set(table.scan_pattern(q).tolist()) == pat_o[q] for q in set(probes_pat)
+    ))
+
+    # index path == scan path (TEST 14 equivalence at scale)
+    table.create_index()
+    check("index = == scan", all(
+        set(table.where_eq(q).tolist()) == eq_o[q] for q in set(probes_eq)
+    ))
+    check("index ^@ == scan", all(
+        set(table.where_prefix(q).tolist()) == pre_o[q] for q in set(probes_pre)
+    ))
+    check("index @> == scan", all(
+        set(table.where_pattern(q).tolist()) == pat_o[q] for q in set(probes_pat)
+    ))
+
+    # GROUP BY / COUNT / DISTINCT vs Counter oracle (TEST 12-13)
+    got_group = table.group_by_kmer().to_dict()
+    check("GROUP BY == Counter", got_group == group_o)
+    check("COUNT(*)", table.count() == n_rows)
+    check("COUNT(DISTINCT)", table.distinct_kmers() == len(group_o))
+
+    if verbose:
+        print(f"scale parity at {n_rows} rows: {'OK' if ok else 'FAILED'}")
+    return ok

@@ -46,3 +46,25 @@ class TestDenseCount:
         lengths = np.full(64, 50, np.int32)
         t = count_kmers_dense(jnp.asarray(reads), jnp.asarray(lengths), k, False)
         assert t.total() == 64 * (50 - k + 1)
+
+
+def test_dense_saturation_guard():
+    import jax.numpy as jnp
+
+    from kmer_tpu.ops.count import CountTable
+    from kmer_tpu.ops.dense_count import DENSE_EXACT_LIMIT, check_dense_exact
+
+    ok = CountTable(
+        hi=jnp.zeros(2, jnp.uint32), lo=jnp.zeros(2, jnp.uint32),
+        length=jnp.full(2, 4, jnp.int32),
+        counts=jnp.asarray([5, DENSE_EXACT_LIMIT - 1], jnp.int32),
+        n_unique=jnp.asarray(2),
+    )
+    assert check_dense_exact(ok) is ok
+    bad = CountTable(
+        hi=ok.hi, lo=ok.lo, length=ok.length,
+        counts=jnp.asarray([5, DENSE_EXACT_LIMIT], jnp.int32),
+        n_unique=ok.n_unique,
+    )
+    with pytest.raises(ValueError, match="2\\^24"):
+        check_dense_exact(bad)
