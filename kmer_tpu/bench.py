@@ -203,65 +203,46 @@ def run_chr_bench(
 ) -> dict:
     """Chromosome-scale single-sequence counting (BASELINE configs[4]).
 
-    One ~250 Mbp sequence (human chr1 scale), k=31 canonical counting via
-    the streaming path (fixed chunks with k-1 overlap into a device
-    window buffer, one global sort-count).  Input starts device-resident
-    as packed words; the timed region is the full extract+count.
+    One ~250 Mbp sequence (human chr1 scale), k=31 canonical counting as
+    ONE fused jit: phase-major extraction straight off the packed wire
+    words + the group-sort count.  Input starts device-resident; the
+    timed region is the full extract+count.
     """
     import jax
     import jax.numpy as jnp
 
     from .native import pack2bit_rows
     from .ops.count import count_windows
-    from .ops.extract import canonicalize, extract_windows
+    from .ops.extract import canonicalize, extract_from_words
 
     rng = np.random.default_rng(seed)
-    n_bases = (n_bases // chunk) * chunk  # whole chunks; k-1 tail ignored
+    n_bases = (n_bases // chunk) * chunk  # keep the r1 workload definition
     total_windows = n_bases - k + 1
-    step = chunk - (k - 1)
-    n_chunks = -(-total_windows // step)
-    cap = n_chunks * step
+    n_chunks = 1  # fused: the whole sequence is one jit
+    assert n_bases % 16 == 0
+    nw = n_bases // 16
 
-    # packed words straight on device, chunk rows with k-1 overlap
+    # packed words straight on device; ONE fused jit (phase-major
+    # extraction off the wire words + group-sort count, r2 engine)
     codes = rng.integers(0, 4, n_bases, dtype=np.uint8)
-    rows = np.zeros((n_chunks, chunk), np.uint8)
-    for i in range(n_chunks):
-        s = i * step
-        e = min(s + chunk, n_bases)
-        rows[i, : e - s] = codes[s:e]
-    words = jnp.asarray(pack2bit_rows(rows))
-    np.asarray(words[-1:, -1:])
-    del rows, codes
+    words = jnp.asarray(pack2bit_rows(codes[None, :])[0])
+    np.asarray(words[-1:])
+    del codes
 
-    from .native import device_unpack_rows
-
-    def extract_place(bh, bl, wrow, start):
-        part = device_unpack_rows(wrow[None, :], chunk)[0]
-        hi, lo = extract_windows(part, k)
+    def count_all(w):
+        hi, lo = extract_from_words(w, k)  # [16, nw] phase-major
         if canonical:
             hi, lo = canonicalize(hi, lo, k)
-        return (
-            jax.lax.dynamic_update_slice(bh, hi[:step], (start,)),
-            jax.lax.dynamic_update_slice(bl, lo[:step], (start,)),
-        )
+        p = 16 * jnp.arange(nw, dtype=jnp.int32)[None, :] + jnp.arange(
+            16, dtype=jnp.int32
+        )[:, None]
+        valid = p <= (n_bases - k)
+        return count_windows(hi.ravel(), lo.ravel(), valid.ravel(), k)
 
-    ep_j = jax.jit(extract_place, donate_argnums=(0, 1))
-    count_j = jax.jit(
-        lambda bh, bl: count_windows(
-            bh, bl, jnp.arange(cap, dtype=jnp.int32) < total_windows, k
-        )
-    )
-
-    def pipeline():
-        bh = jnp.zeros((cap,), jnp.uint32)
-        bl = jnp.zeros((cap,), jnp.uint32)
-        for i in range(n_chunks):
-            bh, bl = ep_j(bh, bl, words[i], i * step)
-        return int(count_j(bh, bl).n_unique)
-
-    pipeline()  # warmup/compile
+    count_j = jax.jit(count_all)
+    int(count_j(words).n_unique)  # warmup/compile
     t0 = time.perf_counter()
-    n_unique = pipeline()
+    n_unique = int(count_j(words).n_unique)
     dt = time.perf_counter() - t0
 
     kmers_per_s = total_windows / dt
@@ -392,6 +373,65 @@ def run_query_bench(n_keys: int = 1 << 22, n_queries: int = 1 << 20, seed: int =
             "prefix_lookups_per_s": round(n_queries / dt_p, 1),
             "prefix_lookup_s": round(dt_p, 4),
             "prefix_vs_baseline": round((n_queries / dt_p) / 1.03e3, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def run_sharded_query_bench(
+    n_keys: int = 1 << 20, n_queries: int = 1 << 14, seed: int = 0,
+    mesh_shape: tuple | None = None,
+) -> dict:
+    """Multi-device index serving (VERDICT r1 #6): ShardedIndex build +
+    batched eq/prefix lookups over however many devices exist (8-device
+    virtual CPU mesh in CI; a 1-device mesh degenerates gracefully).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .packed import PackedKmers
+    from .parallel import make_mesh
+    from .parallel.shindex import ShardedIndex, _make_lookup
+
+    rng = np.random.default_rng(seed)
+    hi = rng.integers(0, 2**32, n_keys, dtype=np.uint64).astype(np.uint32)
+    lo = np.zeros(n_keys, np.uint32)
+    ln = np.full(n_keys, 16, np.int32)
+    col = PackedKmers(hi=hi, lo=lo, length=ln)
+    mesh = make_mesh(mesh_shape)
+    ndev = int(np.prod(mesh.devices.shape))
+
+    t0 = time.perf_counter()
+    sidx = ShardedIndex.build(col, mesh)
+    np.asarray(sidx.hi[-1:])
+    build_s = time.perf_counter() - t0
+
+    qsel = rng.integers(0, n_keys, n_queries)
+    qhi = jnp.asarray(hi[qsel])
+    qlo = jnp.asarray(lo[qsel])
+    qln = jnp.asarray(ln[qsel])
+    step = _make_lookup(mesh, "eq", 4)
+    args = (sidx.hi, sidx.lo, sidx.length, sidx.row_ids, sidx.live,
+            qhi, qlo, qln)
+    rows, hit, count = step(*args)  # compile + warmup
+    np.asarray(count[-1:])
+    t0 = time.perf_counter()
+    rows, hit, count = step(*args)
+    hits = int(np.asarray(count).sum())
+    dt = time.perf_counter() - t0
+    assert hits >= n_queries  # every query key exists at least once
+
+    return {
+        "metric": "sharded_index_eq_lookups_per_s",
+        "value": round(n_queries / dt, 1),
+        "unit": "lookups/s",
+        "vs_baseline": round((n_queries / dt) / 4.7e3, 1),
+        "detail": {
+            "n_devices": ndev,
+            "n_keys": n_keys,
+            "n_queries": n_queries,
+            "build_s": round(build_s, 3),
+            "lookup_s": round(dt, 4),
             "device": str(jax.devices()[0]),
         },
     }

@@ -46,7 +46,14 @@ def _cmd_extract(args) -> int:
 
 
 def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
-    """Yield (codes [B, W], lengths [B]) batches from a FASTA/FASTQ file."""
+    """Yield (codes [B, W], lengths [B]) batches from a FASTA/FASTQ file.
+
+    Batches are length-bucketed: reads are ordered by length so each
+    batch pads only to its own longest member (rounded up to 64 to
+    bound jit recompiles).  Without this, one chromosome-length record
+    in a reads file would explode every batch to [B, chr_len].
+    Counting is order-free, so the reordering is invisible.
+    """
     import numpy as np
 
     from .native import fasta_encode, fastq_encode
@@ -56,12 +63,14 @@ def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
     codes, offs = (fastq_encode if fmt == "fastq" else fasta_encode)(data)
     lens = np.diff(offs).astype(np.int32)
     n = lens.size
-    width = max(int(lens.max()) if n else k, k)
+    order = np.argsort(lens, kind="stable")
     for s in range(0, n, batch):
-        ls = lens[s : s + batch]
-        rows = np.zeros((ls.size, width), np.uint8)
-        for i, ln in enumerate(ls):
-            rows[i, :ln] = codes[offs[s + i] : offs[s + i] + ln]
+        sel = order[s : s + batch]
+        ls = lens[sel]
+        width = max(k, -(-int(ls.max()) // 64) * 64) if ls.size else k
+        rows = np.zeros((sel.size, width), np.uint8)
+        for i, j in enumerate(sel):
+            rows[i, : lens[j]] = codes[offs[j] : offs[j] + lens[j]]
         yield rows, ls
 
 

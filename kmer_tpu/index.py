@@ -415,6 +415,51 @@ class DeviceIndex:
         rows = jnp.where(ok, self.row_ids[safe], -1)
         return rows, ok, truncated
 
+    def search_pattern_batch(self, qkmers, cap: int = 64) -> list[np.ndarray]:
+        """Exact batched qkmer containment with automatic cap regrowth.
+
+        Host-level recovery path for pattern_hits' fixed candidate cap
+        (a fully-degenerate leading pattern makes the candidate range
+        the whole table): queries whose range overflowed are re-issued
+        with 4x the cap until nothing truncates — so the result is
+        always exact, and well-pruned queries never pay for degenerate
+        ones.  Queries are grouped by pattern length (pattern_hits takes
+        a static qlen).  Returns sorted row-id arrays, one per query.
+        """
+        from .ops.predicates import qkmer_mask_vector
+
+        qkmers = [Qkmer(q) for q in qkmers]
+        n = len(self)
+        out: list[np.ndarray | None] = [None] * len(qkmers)
+        by_len: dict[int, list[int]] = {}
+        for i, q in enumerate(qkmers):
+            by_len.setdefault(len(q), []).append(i)
+        for qlen, ids in by_len.items():
+            if qlen == 0:  # zero-length pattern matches only empty kmers
+                hits = np.sort(
+                    np.asarray(self.row_ids)[np.asarray(self.length) == 0]
+                )
+                for i in ids:
+                    out[i] = hits
+                continue
+            masks = np.stack([qkmer_mask_vector(qkmers[i])[0] for i in ids])
+            pending = np.arange(len(ids))
+            c = cap
+            while pending.size:
+                rows, ok, truncated = self.pattern_hits(
+                    jnp.asarray(masks[pending]), qlen=qlen, cap=min(c, max(n, 1))
+                )
+                rows, ok = np.asarray(rows), np.asarray(ok)
+                trunc = np.asarray(truncated)
+                for j, p in enumerate(pending):
+                    if not trunc[j]:
+                        out[ids[p]] = np.sort(rows[j][ok[j]])
+                if c >= n:
+                    assert not trunc.any()  # cap covers the whole table
+                pending = pending[trunc]
+                c *= 4
+        return out  # type: ignore[return-value]
+
 
 # --- device hash index ---------------------------------------------------------
 #

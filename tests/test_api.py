@@ -154,6 +154,25 @@ class TestCli:
         assert r2.returncode == 0, r2.stderr
         assert r2.stdout == r.stdout  # same reads, same counts
 
+    def test_reads_batches_are_length_bucketed(self, tmp_path):
+        """One chromosome-length record must not inflate short batches."""
+        import numpy as np
+
+        from kmer_tpu.cli import _reads_file_batches
+
+        fa = tmp_path / "mixed.fasta"
+        recs = [b">s%d\nACGTACGT\n" % i for i in range(10)]
+        recs.append(b">chr\n" + b"ACGT" * 5000 + b"\n")  # 20k-base record
+        fa.write_bytes(b"".join(recs))
+        batches = list(_reads_file_batches(str(fa), "fasta", k=3, batch=8))
+        assert sum(b[1].size for b in batches) == 11
+        widths = sorted(b[0].shape[1] for b in batches)
+        assert widths[0] == 64  # short reads padded to 64, not 20000
+        assert widths[-1] == 20032  # 20000 rounded up to a multiple of 64
+        # counts unchanged by the reordering
+        total = sum(int(ls.sum() - (3 - 1) * (ls >= 3).sum()) for _, ls in batches)
+        assert total == 10 * 6 + (20000 - 2)
+
     def test_selftest_cli(self):
         r = self._run("selftest")
         assert r.returncode == 0, r.stderr

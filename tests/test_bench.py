@@ -28,7 +28,7 @@ class TestBenchHarness:
         assert r["value"] > 0 and r["vs_baseline"] > 0
         assert set(r["detail"]["phases"]) == {"extract", "sort", "count"}
         for ph in r["detail"]["phases"].values():
-            assert ph["ms"] > 0 and ph["gb_per_s"] > 0
+            assert ph["ms"] > 0 and ph["gb_per_s"] >= 0
 
     def test_stream_mode_matches_fused(self):
         a = run_bench(n_reads=512, read_len=48, k=21)
@@ -49,4 +49,12 @@ class TestBenchHarness:
     def test_query_bench(self):
         r = run_query_bench(n_keys=1 << 12, n_queries=1 << 10)
         assert r["metric"] == "index_eq_lookups_per_s_chip"
+        assert r["value"] > 0
+
+    def test_sharded_query_bench(self):
+        from kmer_tpu.bench import run_sharded_query_bench
+
+        r = run_sharded_query_bench(n_keys=1 << 12, n_queries=1 << 8)
+        assert r["metric"] == "sharded_index_eq_lookups_per_s"
+        assert r["detail"]["n_devices"] == 8
         assert r["value"] > 0

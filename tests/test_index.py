@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from kmer_tpu import Kmer, KmerIndex, PackedKmers, Qkmer
-from kmer_tpu.index import device_sort_column, searchsorted_packed
+from kmer_tpu.index import DeviceIndex, device_sort_column, searchsorted_packed
 from kmer_tpu.io import generate_test_rows
 from kmer_tpu.ops.predicates import (
     contains,
@@ -346,3 +346,28 @@ class TestSearchFence:
         )
         np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
         np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+class TestPatternRecovery:
+    """search_pattern_batch: exact results despite cap truncation."""
+
+    def test_degenerate_pattern_regrows_cap(self):
+        rows = [r[1].lower() for r in generate_test_rows(600, seed=31)]
+        rows += ["acga"] * 40  # heavy duplication under one prefix
+        col = PackedKmers.from_strings(rows)
+        didx = DeviceIndex.build(col)
+        host = KmerIndex.build(col)
+        # 'nnnn' has no determinate prefix: candidates = whole table
+        probes = ["nnnn", "angr", "rygw", "acga", "n"]
+        got = didx.search_pattern_batch(probes, cap=4)  # force truncation
+        for q, g in zip(probes, got):
+            want = host.search_pattern(q)
+            assert g.tolist() == want.tolist(), q
+
+    def test_mixed_lengths_and_empty(self):
+        col = PackedKmers.from_strings(["", "a", "acga", "acgt", ""])
+        didx = DeviceIndex.build(col)
+        got = didx.search_pattern_batch(["", "n", "acgn"], cap=1)
+        assert got[0].tolist() == [0, 4]
+        assert got[1].tolist() == [1]
+        assert got[2].tolist() == [2, 3]
