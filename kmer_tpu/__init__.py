@@ -38,3 +38,12 @@ from .index import DeviceHashIndex, DeviceIndex, KmerIndex  # noqa: F401
 from .config import EngineConfig  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # KmerTable imports jax-heavy modules; load lazily from the package root
+    if name == "KmerTable":
+        from .api import KmerTable
+
+        return KmerTable
+    raise AttributeError(f"module 'kmer_tpu' has no attribute {name!r}")

@@ -114,9 +114,19 @@ def run_bench(
     hi, lo = jax.jit(extract_all)(words)
     sync(hi)
     lo16 = (lo >> jnp.uint32(16)).astype(jnp.uint16)
-    sort_j = jax.jit(lambda a, b: group_sort_pairs(a, b)[0][:8])
+    # consume BOTH sort outputs via max reductions: returning a slice of
+    # one lets XLA dead-code-eliminate the other lane's movement and the
+    # fixup sweeps entirely (burned us twice — see PERF.md §2)
+    sort_j = jax.jit(
+        lambda a, b: jnp.maximum(
+            jnp.max(group_sort_pairs(a, b)[0]),
+            group_sort_pairs(a, b)[1].max().astype(jnp.uint32),
+        )
+    )
     count_only_j = jax.jit(lambda a, b: count_windows(a, b, None, k).n_unique)
-    phases = {}
+    from .utils.profiling import Profile, phase_timer
+
+    prof = Profile()
     for name, fn, args, nbytes in [
         # minimal HBM traffic models: read + write, ignoring XLA's extra
         ("extract", extract_j, (words,), words.nbytes + total * 8),
@@ -125,10 +135,12 @@ def run_bench(
     ]:
         fn(*args)  # compile
         sync(fn(*args))
-        t0 = time.perf_counter()
-        sync(fn(*args))
-        dt = time.perf_counter() - t0
-        phases[name] = {"ms": round(dt * 1e3, 1), **_sol(nbytes, dt)}
+        with phase_timer(prof, name, nbytes=nbytes):
+            sync(fn(*args))
+    phases = {
+        name: {"ms": round(dt * 1e3, 1), **_sol(prof.bytes.get(name, 0), dt)}
+        for name, dt in prof.phases.items()
+    }
 
     out = _result(total, dt_dev, n_reads, read_len, k, canonical, 1,
                   n_unique, mode="fused")

@@ -58,8 +58,14 @@ def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
 
     from .native import fasta_encode, fastq_encode
 
-    with open(path, "rb") as f:
-        data = f.read()
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
     codes, offs = (fastq_encode if fmt == "fastq" else fasta_encode)(data)
     lens = np.diff(offs).astype(np.int32)
     n = lens.size
@@ -76,6 +82,8 @@ def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
 
 def _infer_format(path: str) -> str:
     low = path.lower()
+    if low.endswith(".gz"):
+        low = low[:-3]
     if low.endswith((".fastq", ".fq")):
         return "fastq"
     if low.endswith((".fasta", ".fa", ".fna")):

@@ -44,7 +44,12 @@ class KmerCounter:
 
     def step(self, codes, lengths) -> CountTable:
         """Jitted forward: padded reads [B, L] + lengths [B] -> CountTable."""
-        return self._step(jnp.asarray(codes), jnp.asarray(lengths))
+        from ..ops.dense_count import DENSE_ROUTE_K, check_dense_exact
+
+        out = self._step(jnp.asarray(codes), jnp.asarray(lengths))
+        if self.config.k <= DENSE_ROUTE_K:
+            check_dense_exact(out)  # f32 bins are exact only below 2^24
+        return out
 
     # --- multi device --------------------------------------------------------
 

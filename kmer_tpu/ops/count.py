@@ -130,18 +130,14 @@ def _boundaries(shi, slo, sln):
 def _use_group_sort() -> bool:
     """1-key sort + in-segment fixup vs plain 2-key sort (see group_sort_pairs).
 
-    Measured on TPU v5e (scripts/probe_r2.py): a 2-key lax.sort of
-    (u32, u16) runs at 364M elt/s while a 1-key sort with the same data
-    as payload runs at 573M — XLA's sort cost scales with comparator
-    *keys*, payload lanes are nearly free.  KMER_TPU_NO_GROUPSORT=1
-    forces the plain 2-key sort.
+    KMER_TPU_NO_GROUPSORT=1 forces the plain 2-key sort.
     """
     import os
 
     return not os.environ.get("KMER_TPU_NO_GROUPSORT")
 
 
-_FIXUP_ITERS = 8  # fixed even+odd sweeps: sorts equal-hi runs up to 16 long
+_FIXUP_ITERS = 4  # fixed even+odd sweeps: sorts equal-hi runs up to 8 long
 
 
 def group_sort_pairs(hi, lo):
@@ -151,13 +147,18 @@ def group_sort_pairs(hi, lo):
     then restore lo order *within equal-hi runs* with a fixed number of
     vectorized odd-even transposition sweeps.  Equal-hi runs are tiny
     for high-entropy keys (max multiplicity of ~2^27 draws from 2^32
-    bins is ~8), so _FIXUP_ITERS even+odd sweeps sort every run — and,
-    measured on v5e (scripts/probe_gs.py), the sweeps are FREE: sort1 +
-    16 fused elementwise sweeps ran 294.6ms vs 294.6ms for sort1 alone
-    and 505.3ms for the 2-key sort on the same canonical-k=21 data.
-    The sweep count must be static: a lax.while_loop with an any(swap)
-    convergence reduction measured 495.8ms — the per-iteration
-    reductions serialize the loop and erase the entire win.
+    bins is ~8), so _FIXUP_ITERS even+odd sweeps sort every run.
+
+    Honest end-to-end measurement on v5e, canonical k=21, 136.3M
+    windows (scripts/probe_headline.py; n_unique-synced so nothing is
+    dead-code-eliminated): 533.3ms vs 542.2ms for the 2-key sort — a
+    real but small ~2% win: the 1-key comparator saves ~50ms and the 8
+    sweeps cost ~40ms back (~5ms each).  Two measurement traps are
+    recorded in PERF.md §2: returning only a slice of one output lets
+    XLA eliminate the other lane's movement AND the sweeps (making
+    payloads look free — they are not), and a lax.while_loop with an
+    any(swap) convergence reduction serializes the sweep loop (+200ms).
+    The sweep count must be static.
 
     A final sortedness check feeds an in-graph lax.cond that falls back
     to the full 2-key sort when some run exceeds 2*_FIXUP_ITERS

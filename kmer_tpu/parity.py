@@ -151,6 +151,40 @@ def _t14_index_equivalence():
         assert set(table.where_pattern(q)) == scan[2][q]
 
 
+def _t15_joins():
+    """kmer-test.sql:104-407's join matrix shapes vs nested-loop oracles."""
+    from .io import generate_test_rows
+    from .joins import join_eq, join_pattern, join_right_starts_with_left, outer_extend
+    from .ops.predicates import contains, equals, starts_with
+    from .packed import PackedKmers
+    from .types import Qkmer
+
+    rows = generate_test_rows(160, seed=15)
+    left = [r[1].lower() for r in rows[:80]]
+    right = [r[1].lower() for r in rows[80:]] + left[:10]  # guarantee matches
+    L, R = PackedKmers.from_strings(left), PackedKmers.from_strings(right)
+
+    got = [tuple(p) for p in join_eq(L, R)]
+    want = sorted((i, j) for i, a in enumerate(left)
+                  for j, b in enumerate(right) if equals(a, b))
+    assert got == want
+    # LEFT JOIN row count: matches + unmatched-left null rows
+    rows_left = outer_extend(join_eq(L, R), len(left), len(right), "left")
+    matched_left = {i for i, _ in want}
+    assert len(rows_left) == len(want) + (len(left) - len(matched_left))
+
+    got = [tuple(p) for p in join_right_starts_with_left(L, R)]
+    want = sorted((i, j) for i, a in enumerate(left)
+                  for j, b in enumerate(right) if starts_with(a, b))
+    assert got == want
+
+    qk = [Qkmer(r[2]) for r in rows[:40]]
+    got = [tuple(p) for p in join_pattern(qk, R)]
+    want = sorted((i, j) for i, q in enumerate(qk)
+                  for j, b in enumerate(right) if contains(q, b))
+    assert got == want
+
+
 CHECKS: list[tuple[str, Callable[[], None]]] = [
     ("TEST 1: dna type", _t1_dna),
     ("TEST 2: kmer type", _t2_kmer),
@@ -162,6 +196,7 @@ CHECKS: list[tuple[str, Callable[[], None]]] = [
     ("TEST 10-11: contains/@>/<@", _t1011_contains),
     ("TEST 12-13: count/group by", _t1213_count_group),
     ("TEST 14: index == scan", _t14_index_equivalence),
+    ("kmer-test.sql joins", _t15_joins),
 ]
 
 

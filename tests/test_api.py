@@ -173,6 +173,17 @@ class TestCli:
         total = sum(int(ls.sum() - (3 - 1) * (ls >= 3).sum()) for _, ls in batches)
         assert total == 10 * 6 + (20000 - 2)
 
+    def test_count_gzipped_fastq_cli(self, tmp_path):
+        import gzip
+
+        fq = tmp_path / "r.fastq.gz"
+        with gzip.open(fq, "wb") as f:
+            f.write(b"@r1\nACGTACGT\n+\n@IIIIIII\n@r2\nacgt\n+\nIIII\n")
+        r = self._run("count", "--input", str(fq), "-k", "3")
+        assert r.returncode == 0, r.stderr
+        counts = dict(line.split("\t") for line in r.stdout.strip().splitlines())
+        assert counts["acg"] == "3" and counts["cgt"] == "3"
+
     def test_selftest_cli(self):
         r = self._run("selftest")
         assert r.returncode == 0, r.stderr

@@ -62,3 +62,36 @@ def test_exact_counts_even_when_capped(setup):
     rows, count = sidx._lookup("prefix", ["", "a"], cap=2048)
     assert count[0] == len(kmers)
     assert count[1] == len(host.search_prefix("a"))
+
+
+@pytest.mark.slow
+def test_sharded_build_1M_keys():
+    """configs[4]-shaped: sharded build + serving at 1M keys, 8 shards."""
+    rng = np.random.default_rng(3)
+    n = 1 << 20
+    hi = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    lo = np.zeros(n, np.uint32)
+    ln = np.full(n, 16, np.int32)
+    col = PackedKmers(hi=hi, lo=lo, length=ln)
+    mesh = make_mesh((8, 1))
+    sidx = ShardedIndex.build(col, mesh)
+    assert np.asarray(sidx.live).sum() == n
+    # every probe's psum count equals the true multiplicity
+    probes = [int(i) for i in rng.integers(0, n, 16)]
+    import collections
+
+    from kmer_tpu.codec import decode_codes
+
+    qs = []
+    for i in probes:
+        codes = np.array(
+            [(int(hi[i]) >> (30 - 2 * j)) & 3 for j in range(16)], np.uint8
+        )
+        qs.append(decode_codes(codes))
+    truth = collections.Counter(
+        (int(h), int(l)) for h, l in zip(hi, lo)
+    )
+    rows, count = sidx._lookup("eq", qs, cap=64)
+    for q_i, i in enumerate(probes):
+        assert count[q_i] == truth[(int(hi[i]), int(lo[i]))]
+        assert len(rows[q_i]) == count[q_i]
