@@ -5,16 +5,15 @@ simulated 150bp reads.  The reference baseline is Postgres HashAggregate
 counting at ~1.3e6 k-mers/s on one CPU core (BASELINE.md: 78.7 ms for
 100k rows); vs_baseline is measured k-mers/s over that number.
 
-Pipeline under test (a complete exact global count):
-1. per-chunk fused extract+canonicalize on device (windows land in a
-   preallocated [total] device buffer — no host round trips);
-2. one sort-based count over all windows (single narrow-operand
-   lax.sort + boundary scans; merging per-chunk tables instead would
-   re-sort the same data log(chunks) times).
+Pipeline under test (a complete exact global count) is ONE fused jit:
+unpack packed words -> window extraction -> canonicalize -> group-sort
+count (ops/count.py) -> segment counts (Pallas kernel on TPU).
 
 The headline metric times the device-resident pipeline (packed reads
-already in HBM); the host-wire path (packed chunks fed from host inside
-the timed loop) is reported in detail.
+already in HBM); the host-wire path (packed words fed from host inside
+the timed region) is reported in detail.  Per-phase ms / GB/s / %-of-
+speed-of-light detail comes from separate jits over the same data (see
+PERF.md for the full measured analysis).
 
 All timing syncs through host transfers; block_until_ready can return
 early over remote-execution tunnels.

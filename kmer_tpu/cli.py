@@ -9,6 +9,7 @@ is this CLI (SURVEY.md §7 step 7):
   python -m kmer_tpu extract  --dna ACGTACGT -k 3
   python -m kmer_tpu query    --input data.csv --eq acga | --prefix ac | --pattern angry
   python -m kmer_tpu bench    [--reads 100000 --read-len 150 -k 21]
+  python -m kmer_tpu serve    --input data.csv   (stdin query server)
   python -m kmer_tpu selftest
 """
 
@@ -159,12 +160,84 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Interactive/batch query serving over a loaded table.
+
+    The reference's serving story is a resident Postgres backend; this
+    is the engine's analogue: load the CSV once, build the index once,
+    then answer a stream of queries from stdin — one per line:
+
+        EQ <kmer> | PREFIX <kmer> | PATTERN <qkmer> | COUNT | DISTINCT
+        | GROUP <n>  (top-n kmer counts) | QUIT
+
+    Responses are one JSON line each ({"rows": [...]} or {"value": n}).
+    """
+    from .api import KmerTable
+    from .utils.logging import get_logger
+
+    log = get_logger()
+    table = KmerTable.from_csv(args.input)
+    if not args.no_index:
+        table.create_index()
+    log.info("serving %d rows from %s (index=%s)", len(table), args.input,
+             not args.no_index)
+    print(json.dumps({"ready": len(table)}), flush=True)
+    group = None
+    for line in sys.stdin:
+        parts = line.strip().split(None, 1)
+        if not parts:
+            continue
+        cmd = parts[0].upper()
+        arg = parts[1] if len(parts) > 1 else ""
+        try:
+            if cmd == "QUIT":
+                break
+            elif cmd == "EQ":
+                out = {"rows": [int(i) for i in table.where_eq(arg)]}
+            elif cmd == "PREFIX":
+                out = {"rows": [int(i) for i in table.where_prefix(arg)]}
+            elif cmd == "PATTERN":
+                out = {"rows": [int(i) for i in table.where_pattern(arg)]}
+            elif cmd == "COUNT":
+                out = {"value": table.count()}
+            elif cmd == "DISTINCT":
+                out = {"value": table.distinct_kmers()}
+            elif cmd == "GROUP":
+                if group is None:
+                    group = sorted(
+                        table.group_by_kmer().to_dict().items(),
+                        key=lambda kv: (-kv[1], kv[0]),
+                    )
+                out = {"groups": group[: int(arg or 10)]}
+            else:
+                out = {"error": f"unknown command {cmd!r}"}
+        except Exception as e:  # bad literals etc. must not kill the server
+            out = {"error": str(e)}
+        print(json.dumps(out), flush=True)
+    return 0
+
+
 def _cmd_bench(args) -> int:
     from .config import EngineConfig
 
     EngineConfig(k=args.k, canonical=not args.no_canonical,
                  read_len=args.read_len,
                  use_pallas=not args.no_pallas).activate()
+    if args.trace:
+        import contextlib
+
+        import jax
+
+        trace_cm = jax.profiler.trace(args.trace)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        return _run_bench_modes(args)
+
+
+def _run_bench_modes(args) -> int:
     if args.queries:
         from .bench import run_query_bench
 
@@ -272,10 +345,18 @@ def main(argv=None) -> int:
     b.add_argument("--mode", choices=["fused", "stream", "chr"], default="fused")
     b.add_argument("--queries", action="store_true",
                    help="benchmark index lookups instead of counting")
+    b.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler (xprof) trace of the run")
     b.set_defaults(fn=_cmd_bench)
 
     s = sub.add_parser("selftest", help="end-to-end smoke test")
     s.set_defaults(fn=_cmd_selftest)
+
+    sv = sub.add_parser("serve", help="resident query server over stdin")
+    sv.add_argument("--input", required=True, help="CSV table to serve")
+    sv.add_argument("--no-index", action="store_true",
+                    help="serve via seq scans instead of the sorted index")
+    sv.set_defaults(fn=_cmd_serve)
 
     pr = sub.add_parser("parity", help="run the reference-suite parity checks")
     pr.add_argument("--scale", type=int, default=0, metavar="N",

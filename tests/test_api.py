@@ -184,6 +184,26 @@ class TestCli:
         counts = dict(line.split("\t") for line in r.stdout.strip().splitlines())
         assert counts["acg"] == "3" and counts["cgt"] == "3"
 
+    def test_serve_cli(self, tmp_path):
+        import os
+        import subprocess
+
+        csv = tmp_path / "t.csv"
+        rows = generate_test_rows(40, seed=9)
+        rows_to_csv(rows + [("ac", "acga", "nn")], str(csv))
+        p = subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input", str(csv)],
+            input="EQ acga\nPREFIX a\nPATTERN nn\nCOUNT\nBOGUS\nEQ not-dna\nQUIT\n",
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "KMER_TPU_FORCE_CPU": "1"},
+        )
+        assert p.returncode == 0, p.stderr
+        lines = [json.loads(ln) for ln in p.stdout.strip().splitlines()]
+        assert lines[0]["ready"] == 41
+        assert 40 in lines[1]["rows"]  # appended acga row
+        assert lines[4]["value"] == 41
+        assert "error" in lines[5] and "error" in lines[6]
+
     def test_selftest_cli(self):
         r = self._run("selftest")
         assert r.returncode == 0, r.stderr
