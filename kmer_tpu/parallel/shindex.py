@@ -34,10 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..index import prefix_upper_key, searchsorted_packed
+from ..index import DeviceIndex, prefix_upper_key, searchsorted_packed
 from ..ops.count import SENTINEL, SENTINEL_LEN
 from ..packed import PackedKmers
-from ..types import Kmer
+from ..types import Kmer, Qkmer
 from .dist import _shard_map
 from .mesh import AXIS_DATA
 
@@ -60,6 +60,41 @@ def _make_build(mesh):
             mesh,
             in_specs=(spec, spec, spec, spec),
             out_specs=(spec, spec, spec, spec, spec),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pattern_lookup(mesh, qlen: int, cap: int):
+    """Jitted sharded qkmer containment (strategies 7/8 at pod scale).
+
+    Each shard prunes to its local range of the pattern's determinate
+    leading run and mask-checks candidates — the same kernel as
+    DeviceIndex.pattern_hits, run per shard on shard-local sorted data.
+    Returns (rows [ndev, M, cap], hit [ndev, M, cap],
+    truncated [M] — psum'd over shards).
+    """
+
+    def local(hi_l, lo_l, ln_l, rid_l, live_l, masks):
+        # a shard-local DeviceIndex view over the live prefix: padding
+        # rows sort last and pattern ranges are clamped by prefix_ranges
+        # only via key order, so reuse pattern_hits with the sentinel
+        # rows included — they can never equal a real qlen (length is
+        # SENTINEL_LEN) so the final ok-mask excludes them.
+        view = DeviceIndex(hi=hi_l, lo=lo_l, length=ln_l, row_ids=rid_l)
+        rows, hit, truncated = view.pattern_hits(masks, qlen=qlen, cap=cap)
+        del live_l
+        return rows[None], hit[None], jax.lax.psum(
+            truncated.astype(jnp.int32), AXIS_DATA
+        )
+
+    spec = P(AXIS_DATA)
+    return jax.jit(
+        _shard_map(
+            local,
+            mesh,
+            in_specs=(spec, spec, spec, spec, spec, P()),
+            out_specs=(P(AXIS_DATA), P(AXIS_DATA), P()),
         )
     )
 
@@ -193,6 +228,44 @@ class ShardedIndex:
     def search_prefix(self, prefixes, cap: int = 128) -> list[np.ndarray]:
         """Global row ids per prefix (strategy 28)."""
         return self._auto(op="prefix", kmers=prefixes, cap=cap)
+
+    def search_pattern(self, qkmers, cap: int = 128) -> list[np.ndarray]:
+        """Global row ids per qkmer pattern (strategies 7/8); exact via
+        automatic cap regrowth, grouped by pattern length."""
+        from ..ops.predicates import qkmer_mask_vector
+
+        qkmers = [Qkmer(q) for q in qkmers]
+        out: list = [None] * len(qkmers)
+        by_len: dict[int, list[int]] = {}
+        for i, q in enumerate(qkmers):
+            by_len.setdefault(len(q), []).append(i)
+        n_loc = self.hi.shape[0] // max(int(np.prod(self.mesh.devices.shape)), 1)
+        for qlen, ids in by_len.items():
+            if qlen == 0:  # zero-length pattern matches only empty kmers
+                empty = np.sort(
+                    np.asarray(self.row_ids)[np.asarray(self.length) == 0]
+                )
+                for i in ids:
+                    out[i] = empty
+                continue
+            masks = jnp.asarray(
+                np.stack([qkmer_mask_vector(qkmers[i])[0] for i in ids])
+            )
+            c = cap
+            while True:
+                step = _make_pattern_lookup(self.mesh, qlen, min(c, n_loc))
+                rows, hit, trunc = step(
+                    self.hi, self.lo, self.length, self.row_ids, self.live,
+                    masks,
+                )
+                trunc = np.asarray(trunc)
+                if not trunc.any() or c >= n_loc:
+                    rows, hit = np.asarray(rows), np.asarray(hit)
+                    for j, i in enumerate(ids):
+                        out[i] = np.sort(rows[:, j][hit[:, j]])
+                    break
+                c *= 4
+        return out
 
     def _auto(self, op, kmers, cap):
         while True:

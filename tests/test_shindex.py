@@ -95,3 +95,15 @@ def test_sharded_build_1M_keys():
     for q_i, i in enumerate(probes):
         assert count[q_i] == truth[(int(hi[i]), int(lo[i]))]
         assert len(rows[q_i]) == count[q_i]
+
+
+def test_pattern_matches_host_index(setup):
+    kmers, host, sidx = setup
+    rng = np.random.default_rng(2)
+    # few probes: each distinct (qlen, cap) compiles a sharded kernel
+    rows = generate_test_rows(8, seed=22)
+    probes = [r[2].lower() for r in rows] + ["nnnn", "angr", "", "n", "r" * 32]
+    got = sidx.search_pattern(probes, cap=4)  # tiny cap: force regrowth
+    for p, g in zip(probes, got):
+        want = host.search_pattern(p)
+        assert g.tolist() == want.tolist(), p
