@@ -206,11 +206,10 @@ def run_bench_stream(
 
 
 def run_chr_bench(
-    n_bases: int = 250 << 20,
+    n_bases: int = 15 << 24,  # ~251.7 Mbp: the r1 workload size, word-aligned
     k: int = 31,
     canonical: bool = True,
     seed: int = 0,
-    chunk: int = 1 << 24,
 ) -> dict:
     """Chromosome-scale single-sequence counting (BASELINE configs[4]).
 
@@ -227,10 +226,9 @@ def run_chr_bench(
     from .ops.extract import canonicalize, extract_from_words
 
     rng = np.random.default_rng(seed)
-    n_bases = (n_bases // chunk) * chunk  # keep the r1 workload definition
+    n_bases = (n_bases // 16) * 16  # word-aligned packing
     total_windows = n_bases - k + 1
     n_chunks = 1  # fused: the whole sequence is one jit
-    assert n_bases % 16 == 0
     nw = n_bases // 16
 
     # packed words straight on device; ONE fused jit (phase-major

@@ -420,45 +420,65 @@ class DeviceIndex:
 
         Host-level recovery path for pattern_hits' fixed candidate cap
         (a fully-degenerate leading pattern makes the candidate range
-        the whole table): queries whose range overflowed are re-issued
-        with 4x the cap until nothing truncates — so the result is
-        always exact, and well-pruned queries never pay for degenerate
-        ones.  Queries are grouped by pattern length (pattern_hits takes
-        a static qlen).  Returns sorted row-id arrays, one per query.
+        the whole table): a group that overflowed is re-issued with 4x
+        the cap until nothing truncates — so the result is always
+        exact.  Queries are grouped by pattern length (pattern_hits
+        takes a static qlen).  Returns sorted row-id arrays per query.
         """
-        from .ops.predicates import qkmer_mask_vector
 
-        qkmers = [Qkmer(q) for q in qkmers]
-        n = len(self)
-        out: list[np.ndarray | None] = [None] * len(qkmers)
-        by_len: dict[int, list[int]] = {}
-        for i, q in enumerate(qkmers):
-            by_len.setdefault(len(q), []).append(i)
-        for qlen, ids in by_len.items():
-            if qlen == 0:  # zero-length pattern matches only empty kmers
-                hits = np.sort(
-                    np.asarray(self.row_ids)[np.asarray(self.length) == 0]
-                )
-                for i in ids:
-                    out[i] = hits
-                continue
-            masks = np.stack([qkmer_mask_vector(qkmers[i])[0] for i in ids])
-            pending = np.arange(len(ids))
-            c = cap
-            while pending.size:
-                rows, ok, truncated = self.pattern_hits(
-                    jnp.asarray(masks[pending]), qlen=qlen, cap=min(c, max(n, 1))
-                )
-                rows, ok = np.asarray(rows), np.asarray(ok)
-                trunc = np.asarray(truncated)
-                for j, p in enumerate(pending):
-                    if not trunc[j]:
-                        out[ids[p]] = np.sort(rows[j][ok[j]])
-                if c >= n:
-                    assert not trunc.any()  # cap covers the whole table
-                pending = pending[trunc]
-                c *= 4
-        return out  # type: ignore[return-value]
+        def group_fn(qlen, masks, c):
+            rows, ok, truncated = self.pattern_hits(
+                jnp.asarray(masks), qlen=qlen, cap=c
+            )
+            rows, ok = np.asarray(rows), np.asarray(ok)
+            return (
+                [np.sort(rows[j][ok[j]]) for j in range(rows.shape[0])],
+                bool(np.asarray(truncated).any()),
+            )
+
+        zero_rows = np.sort(
+            np.asarray(self.row_ids)[np.asarray(self.length) == 0]
+        )
+        return pattern_search_grouped(
+            qkmers, zero_rows, group_fn, cap, cap_limit=max(len(self), 1)
+        )
+
+
+def pattern_search_grouped(qkmers, zero_len_rows, group_fn, cap: int,
+                           cap_limit: int) -> list[np.ndarray]:
+    """Shared exact-pattern-search driver (DeviceIndex + ShardedIndex).
+
+    Groups patterns by length (the kernels take a static qlen), handles
+    the zero-length special case (matches exactly the empty kmers,
+    given as ``zero_len_rows``), and regrows the candidate cap 4x until
+    ``group_fn(qlen, masks [M, MAX_K], cap) -> (rows_per_query,
+    any_truncated)`` reports no truncation or cap reaches ``cap_limit``
+    (a cap covering the whole table/shard, where truncation is
+    impossible).
+    """
+    from .ops.predicates import qkmer_mask_vector
+
+    qkmers = [Qkmer(q) for q in qkmers]
+    out: list[np.ndarray | None] = [None] * len(qkmers)
+    by_len: dict[int, list[int]] = {}
+    for i, q in enumerate(qkmers):
+        by_len.setdefault(len(q), []).append(i)
+    for qlen, ids in by_len.items():
+        if qlen == 0:
+            for i in ids:
+                out[i] = zero_len_rows
+            continue
+        masks = np.stack([qkmer_mask_vector(qkmers[i])[0] for i in ids])
+        c = cap
+        while True:
+            rows, truncated = group_fn(qlen, masks, min(c, cap_limit))
+            if not truncated or c >= cap_limit:
+                assert not truncated  # cap_limit covers everything
+                for j, i in enumerate(ids):
+                    out[i] = rows[j]
+                break
+            c *= 4
+    return out  # type: ignore[return-value]
 
 
 # --- device hash index ---------------------------------------------------------

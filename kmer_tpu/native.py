@@ -59,6 +59,11 @@ def _load():
             ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong, ctypes.c_int]
         lib.kn_fastq_encode.restype = ctypes.c_longlong
         lib.kn_fastq_encode.argtypes = lib.kn_fasta_encode.argtypes
+        mt_argtypes = lib.kn_fasta_encode.argtypes + [ctypes.c_int]
+        lib.kn_fasta_encode_mt.restype = ctypes.c_longlong
+        lib.kn_fasta_encode_mt.argtypes = mt_argtypes
+        lib.kn_fastq_encode_mt.restype = ctypes.c_longlong
+        lib.kn_fastq_encode_mt.argtypes = mt_argtypes
         _lib = lib
     except Exception:
         _lib = None
@@ -130,12 +135,28 @@ def device_unpack_rows(words, length: int):
     return ((words[:, idx] >> shifts[None, :]) & jnp.uint32(3)).astype(jnp.uint8)
 
 
+def _parse_threads() -> int:
+    """Parser thread count: KMER_TPU_PARSE_THREADS or the CPU count.
+
+    The native MT parsers fall back to the sequential scan below 1 MiB
+    inputs or nthreads < 2, so small files pay no thread overhead.
+    """
+    env = os.environ.get("KMER_TPU_PARSE_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(os.cpu_count() or 1, 16)
+
+
 def fasta_encode(data: bytes, skip_invalid: bool = True,
                  max_reads: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
     """FASTA bytes -> (code stream, per-read offsets [n_reads+1]).
 
-    Native one-pass parse; numpy/python fallback parses headers in
-    Python and encodes per record.
+    Native multithreaded parse (two-phase: validated record-boundary
+    splits, per-chunk count, prefix-summed disjoint writes — output is
+    byte-identical to the sequential scan).  The two phases cost 2x the
+    parse work, so the speedup is ~cores/2: breakeven on this 2-core dev
+    box (measured 1.09 GB/s sequential), scaling on real ingest hosts.
+    numpy/python fallback parses headers in Python per record.
     """
     lib = _load()
     if lib is None:
@@ -143,11 +164,11 @@ def fasta_encode(data: bytes, skip_invalid: bool = True,
     n = len(data)
     codes = np.empty(n, dtype=np.uint8)
     offsets = np.empty(max_reads + 1, dtype=np.int64)
-    r = lib.kn_fasta_encode(
+    r = lib.kn_fasta_encode_mt(
         data, n,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        max_reads, 1 if skip_invalid else 0,
+        max_reads, 1 if skip_invalid else 0, _parse_threads(),
     )
     if r == -1 - n:
         raise ValueError("fasta_encode: max_reads capacity exceeded")
@@ -172,11 +193,11 @@ def fastq_encode(data: bytes, skip_invalid: bool = True,
     n = len(data)
     codes = np.empty(n, dtype=np.uint8)
     offsets = np.empty(max_reads + 1, dtype=np.int64)
-    r = lib.kn_fastq_encode(
+    r = lib.kn_fastq_encode_mt(
         data, n,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        max_reads, 1 if skip_invalid else 0,
+        max_reads, 1 if skip_invalid else 0, _parse_threads(),
     )
     if r == -1 - n:
         raise ValueError("fastq_encode: max_reads capacity exceeded")

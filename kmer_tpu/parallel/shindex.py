@@ -37,7 +37,7 @@ from jax.sharding import PartitionSpec as P
 from ..index import DeviceIndex, prefix_upper_key, searchsorted_packed
 from ..ops.count import SENTINEL, SENTINEL_LEN
 from ..packed import PackedKmers
-from ..types import Kmer, Qkmer
+from ..types import Kmer
 from .dist import _shard_map
 from .mesh import AXIS_DATA
 
@@ -229,43 +229,36 @@ class ShardedIndex:
         """Global row ids per prefix (strategy 28)."""
         return self._auto(op="prefix", kmers=prefixes, cap=cap)
 
+    @property
+    def shard_rows(self) -> int:
+        """Rows held per data-axis shard (arrays shard over "data" only
+        and replicate over any other mesh axis)."""
+        dp = int(self.mesh.shape[AXIS_DATA])
+        return self.hi.shape[0] // max(dp, 1)
+
     def search_pattern(self, qkmers, cap: int = 128) -> list[np.ndarray]:
         """Global row ids per qkmer pattern (strategies 7/8); exact via
         automatic cap regrowth, grouped by pattern length."""
-        from ..ops.predicates import qkmer_mask_vector
+        from ..index import pattern_search_grouped
 
-        qkmers = [Qkmer(q) for q in qkmers]
-        out: list = [None] * len(qkmers)
-        by_len: dict[int, list[int]] = {}
-        for i, q in enumerate(qkmers):
-            by_len.setdefault(len(q), []).append(i)
-        n_loc = self.hi.shape[0] // max(int(np.prod(self.mesh.devices.shape)), 1)
-        for qlen, ids in by_len.items():
-            if qlen == 0:  # zero-length pattern matches only empty kmers
-                empty = np.sort(
-                    np.asarray(self.row_ids)[np.asarray(self.length) == 0]
-                )
-                for i in ids:
-                    out[i] = empty
-                continue
-            masks = jnp.asarray(
-                np.stack([qkmer_mask_vector(qkmers[i])[0] for i in ids])
+        def group_fn(qlen, masks, c):
+            step = _make_pattern_lookup(self.mesh, qlen, c)
+            rows, hit, trunc = step(
+                self.hi, self.lo, self.length, self.row_ids, self.live,
+                jnp.asarray(masks),
             )
-            c = cap
-            while True:
-                step = _make_pattern_lookup(self.mesh, qlen, min(c, n_loc))
-                rows, hit, trunc = step(
-                    self.hi, self.lo, self.length, self.row_ids, self.live,
-                    masks,
-                )
-                trunc = np.asarray(trunc)
-                if not trunc.any() or c >= n_loc:
-                    rows, hit = np.asarray(rows), np.asarray(hit)
-                    for j, i in enumerate(ids):
-                        out[i] = np.sort(rows[:, j][hit[:, j]])
-                    break
-                c *= 4
-        return out
+            rows, hit = np.asarray(rows), np.asarray(hit)
+            return (
+                [np.sort(rows[:, j][hit[:, j]]) for j in range(rows.shape[1])],
+                bool(np.asarray(trunc).any()),
+            )
+
+        zero_rows = np.sort(
+            np.asarray(self.row_ids)[np.asarray(self.length) == 0]
+        )
+        return pattern_search_grouped(
+            qkmers, zero_rows, group_fn, cap, cap_limit=self.shard_rows
+        )
 
     def _auto(self, op, kmers, cap):
         while True:
@@ -274,7 +267,7 @@ class ShardedIndex:
                 return rows
             except OverflowError:
                 cap *= 4
-                if cap > 4 * (self.hi.shape[0] // max(len(self.mesh.devices.ravel()), 1) + 1):
-                    # cap now covers a whole shard: cannot truncate
-                    rows, _ = self._lookup(op, kmers, cap)
+                if cap >= self.shard_rows:
+                    # cap covers a whole shard: cannot truncate
+                    rows, _ = self._lookup(op, kmers, self.shard_rows)
                     return rows

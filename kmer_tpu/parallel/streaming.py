@@ -98,8 +98,10 @@ def empty_sharded_acc(mesh, acc_capacity: int = 1 << 16) -> WideCounts:
 
 
 def save_wide(acc: WideCounts, path: str, meta: dict | None = None) -> None:
-    """Snapshot a (possibly sharded) wide accumulator to npz."""
-    np.savez_compressed(
+    """Snapshot a (possibly sharded) wide accumulator to npz (atomic)."""
+    from ..utils.checkpoint import atomic_savez
+
+    atomic_savez(
         path,
         hi=np.asarray(jax.device_get(acc.hi), np.uint32),
         lo=np.asarray(jax.device_get(acc.lo), np.uint32),
@@ -206,9 +208,12 @@ def stream_sharded_count(
                              jnp.asarray(lengths))
         done = i + 1
         if stats is not None:
-            nb = int(np.asarray(lengths).sum())
-            stats.record_batch(codes.shape[0], nb,
-                               max(nb - (k - 1) * codes.shape[0], 0), 0)
+            ls = np.asarray(lengths, np.int64)
+            nb = int(ls.sum())
+            # exact per-batch window count; padded zero-length reads
+            # (batches_of tail) contribute no reads and no windows
+            stats.record_batch(int((ls > 0).sum()), nb,
+                               int(np.maximum(ls - (k - 1), 0).sum()), 0)
         if resumable is not None and done % ckpt_every == 0:
             resumable.checkpoint(acc, done, int(overflow), mesh_shape)
             log.info("checkpointed at batch %d", done)

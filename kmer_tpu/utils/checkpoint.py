@@ -21,10 +21,34 @@ from ..ops.count import CountTable
 _FORMAT_VERSION = 1
 
 
+def atomic_savez(path: str, **arrays) -> None:
+    """np.savez_compressed with crash-safe replace semantics.
+
+    Writing directly over an existing checkpoint would destroy it if
+    the process dies mid-write — the exact event checkpoints exist to
+    survive.  Write to a temp file in the same directory, then
+    os.replace (atomic on POSIX).
+    """
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def save_table(table: CountTable, path: str, meta: dict | None = None) -> None:
     """Snapshot a (trimmed) count table + metadata to an .npz file."""
     t = table.trim() if not isinstance(table.hi, np.ndarray) else table
-    np.savez_compressed(
+    atomic_savez(
         path,
         hi=np.asarray(t.hi, np.uint32),
         lo=np.asarray(t.lo, np.uint32),
@@ -51,7 +75,7 @@ def load_table(path: str) -> tuple[CountTable, dict]:
 
 
 def save_index(index: KmerIndex, path: str, meta: dict | None = None) -> None:
-    np.savez_compressed(
+    atomic_savez(
         path,
         sorted_keys=index.sorted_keys,
         sorted_lens=index.sorted_lens,

@@ -207,3 +207,266 @@ long long kn_lines_encode(const char *buf, long long n, uint8_t *codes,
         offsets[++nreads] = w;
     return nreads;
 }
+
+/* ---------------- multithreaded parsing (pthreads) ----------------
+ *
+ * Two-phase parallel parse: records are found at validated record
+ * boundaries near even byte splits, phase 1 counts reads/bases per
+ * chunk, prefix sums assign disjoint output regions, phase 2 re-parses
+ * writing codes/offsets — no locks, no atomics, byte-identical output
+ * to the sequential parsers above.
+ */
+
+#include <pthread.h>
+
+typedef struct {
+    const char *buf;
+    long long start, end;     /* chunk byte range */
+    uint8_t *codes;           /* phase-2 outputs */
+    long long *offsets;
+    long long code_base, read_base;
+    long long reads, bases;   /* phase-1 results */
+    long long err;            /* -1 ok, else global byte index of bad input */
+    int skip_invalid;
+    int write;                /* 0 = count, 1 = write */
+    int fastq;
+    int first_chunk;
+} kn_job;
+
+static long long fasta_boundary(const char *buf, long long n, long long pos)
+{
+    if (pos <= 0)
+        return 0;
+    for (long long i = pos; i < n; i++)
+        if (buf[i] == '>' && buf[i - 1] == '\n')
+            return i;
+    return n;
+}
+
+/* Validated FASTQ record start: an '@' line whose line+2 begins '+'
+ * (a quality line starting '@' fails: two lines later is the next
+ * record's sequence line, which starts with a base, not '+'). */
+static long long fastq_boundary(const char *buf, long long n, long long pos)
+{
+    if (pos <= 0)
+        return 0;
+    long long i = pos;
+    while (i < n && buf[i - 1] != '\n')  /* advance to a line start */
+        i++;
+    while (i < n) {
+        long long line = i;
+        if (buf[line] == '@') {
+            long long j = line;
+            int k;
+            for (k = 0; k < 2 && j < n; k++) {  /* skip 2 lines */
+                while (j < n && buf[j] != '\n')
+                    j++;
+                j++;
+            }
+            if (j >= n || buf[j] == '+')
+                return line;
+        }
+        while (i < n && buf[i] != '\n')
+            i++;
+        i++;
+    }
+    return n;
+}
+
+static void *kn_fasta_worker(void *arg)
+{
+    kn_job *j = (kn_job *)arg;
+    const char *buf = j->buf;
+    long long i = j->start, end = j->end, w = 0, r = 0;
+    j->err = -1;
+    while (i < end) {
+        if (buf[i] == '>') {
+            while (i < end && buf[i] != '\n')
+                i++;
+            i++;
+            if (j->write)
+                j->offsets[j->read_base + r] = j->code_base + w;
+            r++;
+            continue;
+        }
+        char ch = buf[i];
+        if (ch == '\n' || ch == '\r') {
+            i++;
+            continue;
+        }
+        if (r == 0) {  /* headerless leading data: only chunk 0 sees this */
+            if (j->write)
+                j->offsets[j->read_base] = j->code_base;
+            r++;
+        }
+        uint8_t c = CODE_LUT[(uint8_t)ch];
+        if (c == 0xFF) {
+            if (!j->skip_invalid) {
+                j->err = i;
+                return NULL;
+            }
+        } else {
+            if (j->write)
+                j->codes[j->code_base + w] = c;
+            w++;
+        }
+        i++;
+    }
+    j->reads = r;
+    j->bases = w;
+    return NULL;
+}
+
+static void *kn_fastq_worker(void *arg)
+{
+    kn_job *j = (kn_job *)arg;
+    const char *buf = j->buf;
+    long long i = j->start, end = j->end, w = 0, r = 0;
+    j->err = -1;
+    while (i < end) {
+        if (buf[i] == '\n' || buf[i] == '\r') {
+            i++;
+            continue;
+        }
+        if (buf[i] != '@') {
+            j->err = i;
+            return NULL;
+        }
+        while (i < end && buf[i] != '\n')
+            i++;
+        i++;
+        if (j->write)
+            j->offsets[j->read_base + r] = j->code_base + w;
+        r++;
+        long long seq_len = 0;
+        while (i < end && buf[i] != '\n') {
+            char ch = buf[i];
+            if (ch != '\r') {
+                uint8_t c = CODE_LUT[(uint8_t)ch];
+                if (c == 0xFF) {
+                    if (!j->skip_invalid) {
+                        j->err = i;
+                        return NULL;
+                    }
+                } else {
+                    if (j->write)
+                        j->codes[j->code_base + w] = c;
+                    w++;
+                }
+                seq_len++;
+            }
+            i++;
+        }
+        i++;
+        if (i < end) {
+            if (buf[i] != '+') {
+                j->err = i;
+                return NULL;
+            }
+            while (i < end && buf[i] != '\n')
+                i++;
+            i++;
+        }
+        long long q = 0;
+        while (i < end && q < seq_len) {
+            if (buf[i] != '\r' && buf[i] != '\n')
+                q++;
+            i++;
+        }
+    }
+    j->reads = r;
+    j->bases = w;
+    return NULL;
+}
+
+static long long kn_reads_encode_mt(const char *buf, long long n,
+                                    uint8_t *codes, long long *offsets,
+                                    long long max_reads, int skip_invalid,
+                                    int nthreads, int fastq)
+{
+    if (nthreads > 16)
+        nthreads = 16;
+    if (nthreads < 2 || n < (1 << 20))
+        return fastq ? kn_fastq_encode(buf, n, codes, offsets, max_reads,
+                                       skip_invalid)
+                     : kn_fasta_encode(buf, n, codes, offsets, max_reads,
+                                       skip_invalid);
+    kn_job jobs[16];
+    pthread_t tids[16];
+    int t, T = nthreads;
+    long long bounds[17];
+    bounds[0] = 0;
+    for (t = 1; t < T; t++) {
+        long long pos = n * t / T;
+        bounds[t] = fastq ? fastq_boundary(buf, n, pos)
+                          : fasta_boundary(buf, n, pos);
+        if (bounds[t] < bounds[t - 1])
+            bounds[t] = bounds[t - 1];
+    }
+    bounds[T] = n;
+    for (t = 0; t < T; t++) {
+        if (bounds[t + 1] < bounds[t])
+            bounds[t + 1] = bounds[t];
+    }
+
+    for (int phase = 0; phase < 2; phase++) {
+        for (t = 0; t < T; t++) {
+            jobs[t].buf = buf;
+            jobs[t].start = bounds[t];
+            jobs[t].end = bounds[t + 1];
+            jobs[t].codes = codes;
+            jobs[t].offsets = offsets;
+            jobs[t].skip_invalid = skip_invalid;
+            jobs[t].write = phase;
+            jobs[t].fastq = fastq;
+            jobs[t].first_chunk = (t == 0);
+            if (phase == 0) {
+                jobs[t].reads = jobs[t].bases = 0;
+                jobs[t].code_base = jobs[t].read_base = 0;
+            }
+            pthread_create(&tids[t], NULL,
+                           fastq ? kn_fastq_worker : kn_fasta_worker,
+                           &jobs[t]);
+        }
+        long long err = -1;
+        for (t = 0; t < T; t++) {
+            pthread_join(tids[t], NULL);
+            if (jobs[t].err >= 0 && (err < 0 || jobs[t].err < err))
+                err = jobs[t].err;
+        }
+        if (err >= 0)
+            return -err - 1;
+        if (phase == 0) {
+            long long rsum = 0, wsum = 0;
+            for (t = 0; t < T; t++) {
+                jobs[t].read_base = rsum;
+                jobs[t].code_base = wsum;
+                rsum += jobs[t].reads;
+                wsum += jobs[t].bases;
+            }
+            if (rsum > max_reads)
+                return -((long long)1) - n;  /* capacity overflow sentinel */
+            offsets[rsum] = wsum;            /* final sentinel offset */
+        }
+    }
+    long long total = 0;
+    for (t = 0; t < T; t++)
+        total += jobs[t].reads;
+    return total;
+}
+
+long long kn_fasta_encode_mt(const char *buf, long long n, uint8_t *codes,
+                             long long *offsets, long long max_reads,
+                             int skip_invalid, int nthreads)
+{
+    return kn_reads_encode_mt(buf, n, codes, offsets, max_reads,
+                              skip_invalid, nthreads, 0);
+}
+
+long long kn_fastq_encode_mt(const char *buf, long long n, uint8_t *codes,
+                             long long *offsets, long long max_reads,
+                             int skip_invalid, int nthreads)
+{
+    return kn_reads_encode_mt(buf, n, codes, offsets, max_reads,
+                              skip_invalid, nthreads, 1);
+}

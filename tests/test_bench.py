@@ -36,9 +36,9 @@ class TestBenchHarness:
         assert a["detail"]["unique_kmers"] == b["detail"]["unique_kmers"]
 
     def test_chr_mode_exact(self):
-        # tiny "chromosome": 2048 bases, chunk 512, k=31 -> exact oracle
+        # tiny "chromosome": 2048 bases, k=31 -> exact oracle
         rng = np.random.default_rng(0)
-        r = run_chr_bench(n_bases=2048, k=31, canonical=False, seed=0, chunk=512)
+        r = run_chr_bench(n_bases=2048, k=31, canonical=False, seed=0)
         codes = rng.integers(0, 4, 2048, dtype=np.uint8)
         want = collections.Counter(
             tuple(codes[i : i + 31]) for i in range(2048 - 31 + 1)

@@ -144,3 +144,132 @@ class TestPack2Bit:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         )
         np.testing.assert_array_equal(out, pack2bit_rows(codes[None, :])[0])
+
+
+class TestMtParsers:
+    """Multithreaded parsers == sequential parsers, byte-identical."""
+
+    def _gen_fasta(self, n_reads, seed):
+        rng = np.random.default_rng(seed)
+        parts = []
+        for i in range(n_reads):
+            ln = int(rng.integers(30, 400))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGTacgtN", np.uint8), ln))
+            parts.append(b">read%d some description\n" % i)
+            # multi-line records with \r\n mixed in
+            parts.append(seq[: ln // 2] + b"\r\n" + seq[ln // 2 :] + b"\n")
+        return b"".join(parts)
+
+    def _gen_fastq(self, n_reads, seed):
+        rng = np.random.default_rng(seed)
+        parts = []
+        for i in range(n_reads):
+            ln = int(rng.integers(30, 200))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), ln))
+            # quality lines deliberately start with '@' half the time
+            q = (b"@" if i % 2 else b"I") + b"I" * (ln - 1)
+            parts.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, q))
+        return b"".join(parts)
+
+    def test_fasta_mt_matches_sequential(self):
+        import ctypes
+
+        from kmer_tpu import native
+
+        lib = native._load()
+        if lib is None:
+            pytest.skip("no native toolchain")
+        data = self._gen_fasta(12000, seed=0)  # ~3 MB: engages threading
+        assert len(data) > (1 << 20)
+
+        def run(fn, *extra):
+            n = len(data)
+            codes = np.empty(n, np.uint8)
+            offs = np.empty(1 << 20, np.int64)
+            r = fn(data, n,
+                   codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                   1 << 20, 1, *extra)
+            assert r >= 0
+            total = int(offs[r])
+            return codes[:total].copy(), offs[: r + 1].copy()
+
+        c1, o1 = run(lib.kn_fasta_encode)
+        c8, o8 = run(lib.kn_fasta_encode_mt, 8)
+        assert np.array_equal(o1, o8)
+        assert np.array_equal(c1, c8)
+
+    def test_fastq_mt_matches_sequential(self):
+        import ctypes
+
+        from kmer_tpu import native
+
+        lib = native._load()
+        if lib is None:
+            pytest.skip("no native toolchain")
+        data = self._gen_fastq(20000, seed=1)  # '@'-leading quality lines
+        assert len(data) > (1 << 20)
+
+        def run(fn, *extra):
+            n = len(data)
+            codes = np.empty(n, np.uint8)
+            offs = np.empty(1 << 20, np.int64)
+            r = fn(data, n,
+                   codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                   1 << 20, 1, *extra)
+            assert r >= 0
+            total = int(offs[r])
+            return codes[:total].copy(), offs[: r + 1].copy()
+
+        c1, o1 = run(lib.kn_fastq_encode)
+        for t in (2, 5, 8):
+            ct, ot = run(lib.kn_fastq_encode_mt, t)
+            assert np.array_equal(o1, ot), t
+            assert np.array_equal(c1, ct), t
+
+    def test_mt_via_python_api(self, monkeypatch):
+        from kmer_tpu.native import fasta_encode, fastq_encode, native_available
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "8")
+        fa = self._gen_fasta(6000, seed=2)
+        codes, offs = fasta_encode(fa)
+        monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+        codes1, offs1 = fasta_encode(fa)
+        assert np.array_equal(codes, codes1) and np.array_equal(offs, offs1)
+        fq = self._gen_fastq(8000, seed=3)
+        monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "8")
+        codes, offs = fastq_encode(fq)
+        monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+        codes1, offs1 = fastq_encode(fq)
+        assert np.array_equal(codes, codes1) and np.array_equal(offs, offs1)
+
+    def test_mt_invalid_base_strict(self):
+        import ctypes
+
+        from kmer_tpu import native
+
+        lib = native._load()
+        if lib is None:
+            pytest.skip("no native toolchain")
+        data = self._gen_fasta(12000, seed=4)
+        bad = bytearray(data)
+        # inject an invalid byte inside a sequence line of a late record
+        idx = data.rindex(b"\n>") - 5
+        bad[idx : idx + 1] = b"X"
+        n = len(bad)
+        codes = np.empty(n, np.uint8)
+        offs = np.empty(1 << 20, np.int64)
+        r = lib.kn_fasta_encode_mt(
+            bytes(bad), n,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            1 << 20, 0, 8)
+        r1 = lib.kn_fasta_encode(
+            bytes(bad), n,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            1 << 20, 0)
+        assert r == r1 < 0  # same error index as the sequential scan

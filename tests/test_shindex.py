@@ -107,3 +107,22 @@ def test_pattern_matches_host_index(setup):
     for p, g in zip(probes, got):
         want = host.search_pattern(p)
         assert g.tolist() == want.tolist(), p
+
+
+def test_2d_mesh_seq_axis_replication():
+    """Regression: arrays shard over 'data' only, so shard size must be
+    n/dp — on a (4,2) or (2,4) mesh the seq axis replicates and the cap
+    ceiling must still cover a whole data shard (was n/(dp*sp), which
+    accepted truncated pattern results silently)."""
+    kmers = [r[1].lower() for r in generate_test_rows(63, seed=41)]
+    col = PackedKmers.from_strings(kmers)
+    host = KmerIndex.build(col)
+    for shape in [(4, 2), (2, 4)]:
+        sidx = ShardedIndex.build(col, make_mesh(shape))
+        got = sidx.search_pattern(["nnnn", "n"], cap=1)
+        assert got[0].tolist() == host.search_pattern("nnnn").tolist(), shape
+        assert got[1].tolist() == host.search_pattern("n").tolist(), shape
+        eq = sidx.search_eq([kmers[0]], cap=1)
+        assert eq[0].tolist() == host.search_eq(kmers[0]).tolist(), shape
+        pre = sidx.search_prefix(["a"], cap=1)
+        assert pre[0].tolist() == host.search_prefix("a").tolist(), shape
