@@ -46,6 +46,7 @@ def run_bench(
     k: int = 21,
     canonical: bool = True,
     seed: int = 0,
+    coverage_genome: int | None = None,
 ) -> dict:
     """Headline: ONE fused jit — unpack -> extract -> canonicalize -> count.
 
@@ -58,19 +59,33 @@ def run_bench(
     Detail carries a per-phase breakdown (extract / sort / segment
     counts, each timed as its own jit on the same data) with minimal
     HBM-traffic GB/s and %-of-speed-of-light per phase.
+
+    coverage_genome: if set, reads are sampled from one random genome of
+    that many bases instead of being uniform-random — the realistic
+    sequencing regime with ~(n_reads*read_len/genome) -fold k-mer
+    duplication and long equal-prefix runs (exercises the group sort's
+    2-key fallback; see PERF.md §2).
     """
     import jax
     import jax.numpy as jnp
 
     from .ops.count import count_windows, group_sort_pairs
-    from .ops.extract import canonicalize, extract_windows_batch, simulate_reads
+    from .ops.extract import (
+        canonicalize, extract_windows_batch, simulate_coverage_reads,
+        simulate_reads,
+    )
 
     from .native import device_unpack_rows, pack2bit_rows
 
     wpr = read_len - k + 1
     total = n_reads * wpr
 
-    words_host = pack2bit_rows(simulate_reads(n_reads, read_len, seed=seed))
+    if coverage_genome:
+        reads = simulate_coverage_reads(n_reads, read_len, coverage_genome,
+                                        seed=seed)
+    else:
+        reads = simulate_reads(n_reads, read_len, seed=seed)
+    words_host = pack2bit_rows(reads)
     lengths = jnp.full((n_reads,), read_len, jnp.int32)
 
     def extract_all(w):
@@ -142,7 +157,10 @@ def run_bench(
     }
 
     out = _result(total, dt_dev, n_reads, read_len, k, canonical, 1,
-                  n_unique, mode="fused")
+                  n_unique, mode="coverage" if coverage_genome else "fused")
+    if coverage_genome:
+        out["detail"]["genome_bases"] = coverage_genome
+        out["detail"]["mean_kmer_multiplicity"] = round(total / n_unique, 2)
     out["detail"]["host_wire_kmers_per_s"] = round(total / dt_wire, 1)
     out["detail"]["host_wire_wall_s"] = round(dt_wire, 3)
     out["detail"]["phases"] = phases

@@ -253,11 +253,17 @@ def _run_bench_modes(args) -> int:
     else:
         from .bench import run_bench, run_bench_stream
 
-        fn = run_bench_stream if args.mode == "stream" else run_bench
-        result = fn(
-            n_reads=args.reads, read_len=args.read_len, k=args.k,
-            canonical=not args.no_canonical,
-        )
+        if args.mode == "stream":
+            result = run_bench_stream(
+                n_reads=args.reads, read_len=args.read_len, k=args.k,
+                canonical=not args.no_canonical,
+            )
+        else:
+            result = run_bench(
+                n_reads=args.reads, read_len=args.read_len, k=args.k,
+                canonical=not args.no_canonical,
+                coverage_genome=args.coverage_genome,
+            )
     print(json.dumps(result))
     return 0
 
@@ -352,6 +358,9 @@ def main(argv=None) -> int:
                    help="benchmark index lookups instead of counting")
     b.add_argument("--trace", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the run")
+    b.add_argument("--coverage-genome", type=int, default=None, metavar="BASES",
+                   help="sample reads from one random genome of this size "
+                        "(realistic duplication) instead of uniform-random")
     b.set_defaults(fn=_cmd_bench)
 
     s = sub.add_parser("selftest", help="end-to-end smoke test")

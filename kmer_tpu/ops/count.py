@@ -138,6 +138,8 @@ def _use_group_sort() -> bool:
 
 
 _FIXUP_ITERS = 4  # fixed even+odd sweeps: sorts equal-hi runs up to 8 long
+_GROUP_SORT_MIN_N = 1 << 20  # below this either sort is sub-ms: use 2-key
+_SKEW_SAMPLE = 1 << 17  # hi-sample size for the skew probe
 
 
 def group_sort_pairs(hi, lo):
@@ -160,44 +162,60 @@ def group_sort_pairs(hi, lo):
     any(swap) convergence reduction serializes the sweep loop (+200ms).
     The sweep count must be static.
 
-    A final sortedness check feeds an in-graph lax.cond that falls back
-    to the full 2-key sort when some run exceeds 2*_FIXUP_ITERS
-    (heavily skewed hi, e.g. poly-A genomes) — exactness never depends
-    on the data distribution.
+    Two protections keep skewed data (real genomes: a 27x-coverage
+    workload has ~27-long equal-hi runs everywhere) from paying the
+    wasted 1-key sort before the fallback:
+
+    * an in-graph **skew probe** — sort a contiguous 128k sample of hi
+      (sub-ms) and count duplicate neighbors; more than sample/512
+      duplicates routes the whole input straight to the 2-key sort via
+      lax.cond (a coverage workload shows thousands of sample
+      duplicates, a uniform one ~2; the cond itself measured free —
+      probe_cond v1 vs v2);
+    * a final sortedness check that falls back to the 2-key sort when
+      some run still exceeds 2*_FIXUP_ITERS (adversarial data the
+      sample missed) — exactness never depends on the distribution.
 
     Returns (shi, slo) ascending by (hi, lo); bit-identical to
     lax.sort((hi, lo), num_keys=2).
     """
-    if not _use_group_sort():
-        return jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     n = hi.shape[0]
-    if n < 2:
-        return hi, lo
-    shi, slo = jax.lax.sort((hi, lo), num_keys=1, is_stable=False)
-    eqv = shi[1:] == shi[:-1]  # hi fixed from here on
-    par = jnp.arange(n - 1, dtype=jnp.int32) & 1
-    eq0 = eqv & (par == 0)
-    eq1 = eqv & (par == 1)
+    if not _use_group_sort() or n < _GROUP_SORT_MIN_N:
+        # small inputs: either sort is sub-ms; skip the extra graph
+        return jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
 
-    def sweep(lo_c, eqp):
-        do = eqp & (lo_c[:-1] > lo_c[1:])
-        # element i swaps down if do[i], up if do[i-1]
-        up = jnp.concatenate([jnp.zeros((1,), bool), do])
-        down = jnp.concatenate([do, jnp.zeros((1,), bool)])
-        nxt = jnp.concatenate([lo_c[1:], lo_c[-1:]])
-        prv = jnp.concatenate([lo_c[:1], lo_c[:-1]])
-        return jnp.where(down, nxt, jnp.where(up, prv, lo_c))
+    def sort2(h, l):
+        return jax.lax.sort((h, l), num_keys=2, is_stable=False)
 
-    slo = jax.lax.fori_loop(
-        0, _FIXUP_ITERS, lambda _, l: sweep(sweep(l, eq0), eq1), slo
-    )
-    unsorted = jnp.any(eqv & (slo[:-1] > slo[1:]))
-    return jax.lax.cond(
-        unsorted,
-        lambda h, l: jax.lax.sort((h, l), num_keys=2, is_stable=False),
-        lambda h, l: (h, l),
-        shi, slo,
-    )
+    def group(h, l):
+        shi, slo = jax.lax.sort((h, l), num_keys=1, is_stable=False)
+        eqv = shi[1:] == shi[:-1]  # hi fixed from here on
+        par = jnp.arange(n - 1, dtype=jnp.int32) & 1
+        eq0 = eqv & (par == 0)
+        eq1 = eqv & (par == 1)
+
+        def sweep(lo_c, eqp):
+            do = eqp & (lo_c[:-1] > lo_c[1:])
+            # element i swaps down if do[i], up if do[i-1]
+            up = jnp.concatenate([jnp.zeros((1,), bool), do])
+            down = jnp.concatenate([do, jnp.zeros((1,), bool)])
+            nxt = jnp.concatenate([lo_c[1:], lo_c[-1:]])
+            prv = jnp.concatenate([lo_c[:1], lo_c[:-1]])
+            return jnp.where(down, nxt, jnp.where(up, prv, lo_c))
+
+        slo = jax.lax.fori_loop(
+            0, _FIXUP_ITERS, lambda _, l_: sweep(sweep(l_, eq0), eq1), slo
+        )
+        unsorted = jnp.any(eqv & (slo[:-1] > slo[1:]))
+        return jax.lax.cond(
+            unsorted, sort2, lambda h_, l_: (h_, l_), shi, slo
+        )
+
+    sample = hi[:_SKEW_SAMPLE]
+    ssorted = jax.lax.sort((sample,), num_keys=1, is_stable=False)[0]
+    dups = jnp.sum((ssorted[1:] == ssorted[:-1]).astype(jnp.int32))
+    skewed = dups > (sample.shape[0] >> 9)
+    return jax.lax.cond(skewed, sort2, group, hi, lo)
 
 
 _PALLAS_COUNTS_OVERRIDE: bool | None = None  # None = auto (on when on TPU)

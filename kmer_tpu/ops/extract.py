@@ -204,3 +204,25 @@ def simulate_reads(num_reads: int, read_len: int, seed: int = 0) -> np.ndarray:
     """Random 2-bit code reads [num_reads, read_len] (benchmark inputs)."""
     rng = np.random.default_rng(seed)
     return rng.integers(0, 4, size=(num_reads, read_len), dtype=np.uint8)
+
+
+def simulate_coverage_reads(
+    num_reads: int, read_len: int, genome_bases: int, seed: int = 0
+) -> np.ndarray:
+    """Reads sampled from one random genome — realistic sequencing shape.
+
+    Unlike uniform-random reads (every k-mer ~unique), coverage reads
+    repeat each genomic k-mer ~(num_reads*read_len/genome_bases) times
+    and share 16-base prefixes heavily — the regime where counting's
+    equal-key runs get long (the group sort's fallback path) and where
+    dedup/merge actually shrinks tables.
+    """
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=genome_bases, dtype=np.uint8)
+    starts = rng.integers(0, genome_bases - read_len + 1, size=num_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    reads = genome[idx]
+    # reverse-complement half the reads (sequencing strands)
+    flip = rng.random(num_reads) < 0.5
+    reads[flip] = 3 - reads[flip, ::-1]
+    return reads

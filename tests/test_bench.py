@@ -58,3 +58,20 @@ class TestBenchHarness:
         assert r["metric"] == "sharded_index_eq_lookups_per_s"
         assert r["detail"]["n_devices"] == 8
         assert r["value"] > 0
+
+    def test_coverage_mode_exact(self):
+        from kmer_tpu.bench import run_bench
+        from kmer_tpu.ops.extract import simulate_coverage_reads
+
+        r = run_bench(n_reads=512, read_len=48, k=8, coverage_genome=2000)
+        reads = simulate_coverage_reads(512, 48, 2000, seed=0)
+        comp = {"a": "t", "c": "g", "g": "c", "t": "a"}
+        want = set()
+        for row in reads:
+            s = decode_codes(row)
+            for km in extract_to_strings(s, 8):
+                rc = "".join(comp[c] for c in reversed(km))
+                want.add(min(km, rc))
+        assert r["detail"]["unique_kmers"] == len(want)
+        assert r["detail"]["mode"] == "coverage"
+        assert r["detail"]["mean_kmer_multiplicity"] > 2  # real duplication

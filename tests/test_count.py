@@ -206,7 +206,11 @@ class TestSortWidthPaths:
 
 
 class TestGroupSortPairs:
-    """1-key sort + odd-even fixup vs the plain 2-key sort oracle."""
+    """1-key sort + odd-even fixup vs the plain 2-key sort oracle.
+
+    _GROUP_SORT_MIN_N is patched to 0 so CI exercises the real group
+    path (skew probe, sweeps, inner fallback) at CPU-friendly sizes.
+    """
 
     def _oracle(self, hi, lo):
         import jax
@@ -214,41 +218,47 @@ class TestGroupSortPairs:
         return jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2,
                             is_stable=False)
 
-    def test_random_pairs_bit_identical(self):
+    def _check(self, hi, lo, monkeypatch):
+        import kmer_tpu.ops.count as cm
         from kmer_tpu.ops.count import group_sort_pairs
 
-        rng = np.random.default_rng(0)
-        for n, dt in [(1, np.uint16), (2, np.uint16), (4097, np.uint16),
-                      (5000, np.uint32)]:
-            hi = rng.integers(0, 1 << 8, n).astype(np.uint32)  # force collisions
-            lo = rng.integers(0, np.iinfo(dt).max, n, dtype=np.uint64).astype(dt)
-            got = group_sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
-            want = self._oracle(hi, lo)
-            assert np.array_equal(got[0], want[0])
-            assert np.array_equal(got[1], want[1])
-
-    def test_skewed_hi_falls_back_exactly(self):
-        """One giant equal-hi run (> 2*_FIXUP_MAX_ITERS): cond fallback."""
-        from kmer_tpu.ops.count import group_sort_pairs
-
-        rng = np.random.default_rng(1)
-        n = 4096
-        hi = np.zeros(n, np.uint32)  # single run of length n
-        hi[: n // 4] = rng.integers(0, 100, n // 4)
-        lo = rng.integers(0, 1 << 16, n).astype(np.uint16)
+        monkeypatch.setattr(cm, "_GROUP_SORT_MIN_N", 0)
         got = group_sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
         want = self._oracle(hi, lo)
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
 
-    def test_presorted_and_constant(self):
+    def test_random_pairs_bit_identical(self, monkeypatch):
+        rng = np.random.default_rng(0)
+        for n, dt in [(1, np.uint16), (2, np.uint16), (4097, np.uint16),
+                      (5000, np.uint32)]:
+            # near-unique his with a few short runs: group path taken
+            hi = rng.integers(0, max(n * 8, 16), n).astype(np.uint32)
+            lo = rng.integers(0, np.iinfo(dt).max, n, dtype=np.uint64).astype(dt)
+            self._check(hi, lo, monkeypatch)
+
+    def test_skew_probe_routes_to_2key(self, monkeypatch):
+        """Heavy duplication: the sample probe must route to sort2."""
+        rng = np.random.default_rng(1)
+        n = 40_000
+        hi = rng.integers(0, 100, n).astype(np.uint32)  # runs of ~400
+        lo = rng.integers(0, 1 << 16, n).astype(np.uint16)
+        self._check(hi, lo, monkeypatch)
+
+    def test_long_run_past_probe_falls_back_exactly(self, monkeypatch):
+        """Mostly unique his (passes the probe) + one run of 40 (> 2*iters):
+        the inner sortedness check must trigger the 2-key fallback."""
+        rng = np.random.default_rng(2)
+        n = 40_000
+        hi = np.arange(n, dtype=np.uint32) * 7
+        hi[20_000:20_040] = 77777  # one long run
+        lo = rng.integers(0, 1 << 16, n).astype(np.uint16)
+        self._check(hi, lo, monkeypatch)
+
+    def test_small_inputs_use_2key_directly(self):
         from kmer_tpu.ops.count import group_sort_pairs
 
         hi = np.arange(100, dtype=np.uint32)
         lo = np.zeros(100, np.uint16)
         got = group_sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
         assert np.array_equal(got[0], hi) and np.array_equal(got[1], lo)
-        hi2 = np.zeros(64, np.uint32)
-        lo2 = np.arange(64, dtype=np.uint16)[::-1].copy()
-        got2 = group_sort_pairs(jnp.asarray(hi2), jnp.asarray(lo2))
-        assert np.array_equal(got2[1], np.sort(lo2))
