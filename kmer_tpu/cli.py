@@ -75,9 +75,16 @@ def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
         sel = order[s : s + batch]
         ls = lens[sel]
         width = max(k, -(-int(ls.max()) // 64) * 64) if ls.size else k
-        rows = np.zeros((sel.size, width), np.uint8)
-        for i, j in enumerate(sel):
-            rows[i, : lens[j]] = codes[offs[j] : offs[j] + lens[j]]
+        # one vectorized gather per batch (rows[i, j] = codes[offs[i] + j],
+        # zeroed past each read's length) — a per-read Python loop here
+        # costs minutes of interpreter time at configs[3] scale while the
+        # native parser delivers >1 GB/s
+        col = np.arange(width, dtype=np.int64)[None, :]
+        if codes.size:
+            idx = np.minimum(offs[sel][:, None] + col, codes.size - 1)
+            rows = np.where(col < ls[:, None], codes[idx], np.uint8(0))
+        else:
+            rows = np.zeros((sel.size, width), np.uint8)
         yield rows, ls
 
 
@@ -132,9 +139,17 @@ def _cmd_count(args) -> int:
         print(f"{kmer}\t{count}")
     print(f"# {result.distinct()} distinct, {result.total()} total", file=sys.stderr)
     if args.save:
-        from .utils.checkpoint import save_table
+        from .ops.wide import WideCounts
 
-        save_table(result, args.save, {"k": args.k, "canonical": args.canonical})
+        meta = {"k": args.k, "canonical": args.canonical}
+        if isinstance(result, WideCounts):
+            from .parallel.streaming import save_wide
+
+            save_wide(result, args.save, meta)
+        else:
+            from .utils.checkpoint import save_table
+
+            save_table(result, args.save, meta)
         log.info("saved table to %s", args.save)
     return 0
 

@@ -211,7 +211,11 @@ def group_sort_pairs(hi, lo):
             unsorted, sort2, lambda h_, l_: (h_, l_), shi, slo
         )
 
-    sample = hi[:_SKEW_SAMPLE]
+    # strided sample so the probe sees the whole input's duplication
+    # profile (a contiguous prefix misses files whose early windows are
+    # high-entropy but whose bulk is skewed); stride is static at trace
+    # time, and reading the array once costs <1ms of HBM bandwidth
+    sample = hi[:: max(1, n // _SKEW_SAMPLE)][:_SKEW_SAMPLE]
     ssorted = jax.lax.sort((sample,), num_keys=1, is_stable=False)[0]
     dups = jnp.sum((ssorted[1:] == ssorted[:-1]).astype(jnp.int32))
     skewed = dups > (sample.shape[0] >> 9)

@@ -128,47 +128,27 @@ class WideCounts:
         )
 
 
-def count_packed_wide(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCounts:
-    """64-bit weighted GROUP BY, output compacted to ``capacity`` slots.
-
-    Slots with zero weight are absent.  If the number of distinct keys
-    exceeds capacity the surplus (largest) keys are dropped — callers
-    detect this via ``n_unique > capacity`` (kept exact in n_unique).
-    """
+def _normalize_live(hi, lo, length, w_hi, w_lo):
+    """Ravel/cast the five lanes and fold zero-weight slots to sentinels."""
     hi = jnp.asarray(hi, jnp.uint32).ravel()
     lo = jnp.asarray(lo, jnp.uint32).ravel()
     length = jnp.asarray(length, jnp.int32).ravel()
     w_hi = jnp.asarray(w_hi, jnp.int32).ravel()
     w_lo = jnp.asarray(w_lo, jnp.uint32).ravel()
-    n = hi.shape[0]
-
     live = (w_hi > 0) | (w_lo > 0)
     hi = jnp.where(live, hi, jnp.uint32(SENTINEL))
     lo = jnp.where(live, lo, jnp.uint32(SENTINEL))
     length = jnp.where(live, length, jnp.int32(SENTINEL_LEN))
+    return hi, lo, length, w_hi, w_lo
 
-    shi, slo, sln, swh, swl = jax.lax.sort(
-        (hi, lo, length, w_hi, w_lo), num_keys=3, is_stable=False
-    )
-    new = _boundaries(shi, slo, sln)
-    # segment totals at heads: csum[end] - csum[i] + w[i], all pair math
-    pos = jnp.arange(n, dtype=jnp.int32)
-    b = jnp.where(new, pos, n)
-    sufmin = jax.lax.cummin(b, reverse=True)
-    nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
-    ch, cl = _pair_cumsum(swh, swl)
-    end = jnp.clip(nxt - 1, 0, n - 1)
-    dh, dl = _pair_sub(ch[end], cl[end], ch, cl)
-    th, tl = _pair_add(dh, dl, swh, swl)
 
-    slive = sln != jnp.int32(SENTINEL_LEN)
-    head = new & slive
+def _compact_fit(head, shi, slo, sln, th, tl, capacity: int) -> WideCounts:
+    """Shared tail: keep totals at heads, compact live groups to the
+    front in key order (tag-sort), pad/trim to ``capacity`` slots."""
     th = jnp.where(head, th, 0)
     tl = jnp.where(head, tl, jnp.uint32(0))
     n_unique = jnp.sum(head.astype(jnp.int32))
 
-    # compact: non-head / dead slots fold to sentinel keys, one more sort
-    # moves the deduplicated groups to the front in key order
     khi = jnp.where(head, shi, jnp.uint32(SENTINEL))
     klo = jnp.where(head, slo, jnp.uint32(SENTINEL))
     kln = jnp.where(head, sln, jnp.int32(SENTINEL_LEN))
@@ -194,10 +174,66 @@ def count_packed_wide(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCounts:
     )
 
 
+def _merge_unique_sources(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCounts:
+    """64-bit GROUP BY when each key holds nonzero weight in at most TWO
+    input slots — true for every merge path here: a compacted WideCounts
+    and a sorted-run CountTable each carry a key's total in exactly one
+    slot.  Segment totals are then one neighbor pair-add at the segment
+    head, replacing count_packed_wide's O(n log n) 64-bit cumsum with a
+    single O(n) pass (the merge runs every streaming batch — this is
+    the difference between a ~free fold and a second sort-sized cost).
+    """
+    hi, lo, length, w_hi, w_lo = _normalize_live(hi, lo, length, w_hi, w_lo)
+    shi, slo, sln, swh, swl = jax.lax.sort(
+        (hi, lo, length, w_hi, w_lo), num_keys=3, is_stable=False
+    )
+    new = _boundaries(shi, slo, sln)
+    # slot i+1 belongs to the same segment iff it is not a head
+    nxt_same = jnp.concatenate([~new[1:], jnp.zeros((1,), bool)])
+    nwh = jnp.concatenate([swh[1:], jnp.zeros((1,), swh.dtype)])
+    nwl = jnp.concatenate([swl[1:], jnp.zeros((1,), swl.dtype)])
+    th, tl = _pair_add(
+        swh,
+        swl,
+        jnp.where(nxt_same, nwh, 0),
+        jnp.where(nxt_same, nwl, jnp.uint32(0)),
+    )
+    head = new & (sln != jnp.int32(SENTINEL_LEN))
+    return _compact_fit(head, shi, slo, sln, th, tl, capacity)
+
+
+def count_packed_wide(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCounts:
+    """64-bit weighted GROUP BY, output compacted to ``capacity`` slots.
+
+    Slots with zero weight are absent.  If the number of distinct keys
+    exceeds capacity the surplus (largest) keys are dropped — callers
+    detect this via ``n_unique > capacity`` (kept exact in n_unique).
+    """
+    hi, lo, length, w_hi, w_lo = _normalize_live(hi, lo, length, w_hi, w_lo)
+    n = hi.shape[0]
+
+    shi, slo, sln, swh, swl = jax.lax.sort(
+        (hi, lo, length, w_hi, w_lo), num_keys=3, is_stable=False
+    )
+    new = _boundaries(shi, slo, sln)
+    # segment totals at heads: csum[end] - csum[i] + w[i], all pair math
+    pos = jnp.arange(n, dtype=jnp.int32)
+    b = jnp.where(new, pos, n)
+    sufmin = jax.lax.cummin(b, reverse=True)
+    nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
+    ch, cl = _pair_cumsum(swh, swl)
+    end = jnp.clip(nxt - 1, 0, n - 1)
+    dh, dl = _pair_sub(ch[end], cl[end], ch, cl)
+    th, tl = _pair_add(dh, dl, swh, swl)
+
+    head = new & (sln != jnp.int32(SENTINEL_LEN))
+    return _compact_fit(head, shi, slo, sln, th, tl, capacity)
+
+
 def wide_from_table(table: CountTable, capacity: int | None = None) -> WideCounts:
     """Lift a CountTable (int32 sorted-run) into compacted wide form."""
     cap = table.hi.shape[-1] if capacity is None else capacity
-    return count_packed_wide(
+    return _merge_unique_sources(
         table.hi,
         table.lo,
         table.length,
@@ -212,6 +248,8 @@ def merge_into_wide(acc: WideCounts, table: CountTable) -> WideCounts:
 
     Result keeps ``acc.capacity`` (static shapes for jit loops);
     ``n_unique`` stays exact, so overflow is ``n_unique > capacity``.
+    Both sources are per-key-deduplicated, so the fast ≤2-slots-per-
+    segment merge applies.
     """
     hi = jnp.concatenate([acc.hi, jnp.asarray(table.hi, jnp.uint32)])
     lo = jnp.concatenate([acc.lo, jnp.asarray(table.lo, jnp.uint32)])
@@ -219,13 +257,13 @@ def merge_into_wide(acc: WideCounts, table: CountTable) -> WideCounts:
     tc = jnp.asarray(table.counts, jnp.int32)
     wh = jnp.concatenate([acc.counts_hi, jnp.zeros_like(tc)])
     wl = jnp.concatenate([acc.counts_lo, tc.astype(jnp.uint32)])
-    return count_packed_wide(hi, lo, ln, wh, wl, acc.capacity)
+    return _merge_unique_sources(hi, lo, ln, wh, wl, acc.capacity)
 
 
 def merge_wide(a: WideCounts, b: WideCounts, capacity: int | None = None) -> WideCounts:
     """Associative merge of two wide tables."""
     cap = a.capacity if capacity is None else capacity
-    return count_packed_wide(
+    return _merge_unique_sources(
         jnp.concatenate([a.hi, b.hi]),
         jnp.concatenate([a.lo, b.lo]),
         jnp.concatenate([a.length, b.length]),
@@ -233,3 +271,94 @@ def merge_wide(a: WideCounts, b: WideCounts, capacity: int | None = None) -> Wid
         jnp.concatenate([a.counts_lo, b.counts_lo]),
         cap,
     )
+
+
+def pad_wide(acc: WideCounts, capacity: int) -> WideCounts:
+    """Re-home a compacted accumulator into a larger capacity (sentinel
+    padding; live slots are already at the front in key order)."""
+    if capacity <= acc.capacity:
+        return acc
+    pad = capacity - acc.capacity
+
+    def ext(x, fill, dtype):
+        return jnp.concatenate(
+            [jnp.asarray(x, dtype), jnp.full((pad,), fill, dtype)]
+        )
+
+    return WideCounts(
+        hi=ext(acc.hi, SENTINEL, jnp.uint32),
+        lo=ext(acc.lo, SENTINEL, jnp.uint32),
+        length=ext(acc.length, SENTINEL_LEN, jnp.int32),
+        counts_hi=ext(acc.counts_hi, 0, jnp.int32),
+        counts_lo=ext(acc.counts_lo, 0, jnp.uint32),
+        n_unique=jnp.asarray(acc.n_unique, jnp.int32),
+    )
+
+
+_merge_into_wide_jit = jax.jit(merge_into_wide)
+_pad_wide_jit = jax.jit(pad_wide, static_argnames=("capacity",))
+
+
+class WideAccumulator:
+    """Streaming 64-bit-exact accumulator with fixed-capacity merges and
+    geometric growth — the universal replacement for the r1/r2
+    growing-CountTable anti-pattern (O(B²) recompiles + int32 overflow).
+
+    ``add(table)`` folds a per-batch sorted-run CountTable into a
+    compacted WideCounts of static capacity, so every merge at a given
+    (capacity, batch-shape) pair reuses one compiled program.  Growth
+    never drops keys: a merge could only overflow when the host-side
+    upper bound (last-synced n_unique + windows added since) crosses
+    capacity; at that point the true n_unique is synced once and, if
+    needed, the accumulator is re-homed into the next power-of-two
+    capacity BEFORE the merge.  Compile count is therefore
+    O(log distinct_keys x distinct batch shapes), and counts stay exact
+    past 2^31 (the reference's GROUP BY totals are unbounded —
+    kmer-tests.sql:1107-1214).
+    """
+
+    def __init__(self, capacity: int = 1 << 16):
+        self._cap = 1 << max(3, int(capacity - 1).bit_length())
+        self._acc: WideCounts | None = None
+        self._bound = 0  # upper bound on current n_unique (host-side)
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    @property
+    def empty(self) -> bool:
+        return self._acc is None
+
+    def seed(self, acc: WideCounts) -> None:
+        """Adopt an existing accumulator (checkpoint resume)."""
+        self._cap = acc.capacity
+        self._acc = WideCounts(
+            hi=jnp.asarray(np.asarray(acc.hi), jnp.uint32),
+            lo=jnp.asarray(np.asarray(acc.lo), jnp.uint32),
+            length=jnp.asarray(np.asarray(acc.length), jnp.int32),
+            counts_hi=jnp.asarray(np.asarray(acc.counts_hi), jnp.int32),
+            counts_lo=jnp.asarray(np.asarray(acc.counts_lo), jnp.uint32),
+            n_unique=jnp.asarray(int(acc.n_unique), jnp.int32),
+        )
+        self._bound = int(acc.n_unique)
+
+    def add(self, table: CountTable) -> None:
+        """Fold one per-batch CountTable (sorted-run layout) in, exactly."""
+        batch_cap = int(np.asarray(table.hi).shape[-1])
+        if self._acc is None:
+            self._acc = WideCounts.empty(self._cap)
+        if self._bound + batch_cap > self._cap:
+            n = int(self._acc.n_unique)  # one sync, only near capacity
+            if n + batch_cap > self._cap:
+                new_cap = 1 << int(n + batch_cap - 1).bit_length()
+                self._acc = _pad_wide_jit(self._acc, capacity=new_cap)
+                self._cap = new_cap
+            self._bound = n
+        self._acc = _merge_into_wide_jit(self._acc, table)
+        self._bound += batch_cap
+
+    def result(self) -> WideCounts:
+        if self._acc is None:
+            raise ValueError("empty accumulator")
+        return self._acc

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.count import CountTable, count_kmers, merge_tables
+from .ops.count import CountTable, count_kmers
 from .utils.logging import StatsCounters, get_logger
 
 
@@ -116,25 +116,20 @@ def count_long_sequence(
 def _count_long_resumable(codes, k, canonical, chunk, resumable, stats):
     log = get_logger()
     step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
-    acc: CountTable | None = None
-    if resumable.table is not None:
-        acc = _to_device(resumable.table)
     for i, (part, _) in enumerate(iter_chunks_with_overlap(codes, chunk, k)):
         if not resumable.should_process(i):
             continue
         buf = np.zeros((1, chunk), np.uint8)
         buf[0, : part.size] = part
         table = step(jnp.asarray(buf), jnp.asarray([part.size], jnp.int32))
-        acc = table if acc is None else merge_tables(acc, table)
-        resumable.table = acc
-        resumable.shards_done = i + 1
+        resumable.update(i, table)
         if stats is not None:
             stats.record_batch(0, part.size, part.size - k + 1, 0)
         if (i + 1) % 16 == 0:
             log.info("streamed %d chunks", i + 1)
-    if acc is None:
+    if resumable.table is None:
         raise ValueError("sequence shorter than k")
-    return acc
+    return resumable.table
 
 
 def count_read_stream(
@@ -142,26 +137,26 @@ def count_read_stream(
     k: int,
     canonical: bool = False,
     stats: StatsCounters | None = None,
-) -> CountTable:
-    """Exact count over an iterator of (codes [B, L], lengths [B]) batches."""
+    capacity: int = 1 << 16,
+):
+    """Exact count over an iterator of (codes [B, L], lengths [B]) batches.
+
+    Accumulates through a fixed-capacity 64-bit WideAccumulator
+    (ops/wide.py): totals stay exact past 2^31 (the reference's GROUP BY
+    has unbounded totals, kmer-tests.sql:1107-1214) and each merge at a
+    given (capacity, batch-shape) reuses one compiled program — the r2
+    growing-CountTable path recompiled AND re-sorted the whole
+    accumulator every batch.  Returns a WideCounts.
+    """
+    from .ops.wide import WideAccumulator
+
     step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
-    acc: CountTable | None = None
+    acc = WideAccumulator(capacity)
     for codes, lengths in read_batches:
-        table = step(jnp.asarray(codes), jnp.asarray(lengths))
-        acc = table if acc is None else merge_tables(acc, table)
+        acc.add(step(jnp.asarray(codes), jnp.asarray(lengths)))
         if stats is not None:
             nb = int(np.asarray(lengths).sum())
             stats.record_batch(codes.shape[0], nb, max(nb - k + 1, 0), 0)
-    if acc is None:
+    if acc.empty:
         raise ValueError("empty read stream")
-    return acc
-
-
-def _to_device(table: CountTable) -> CountTable:
-    return CountTable(
-        hi=jnp.asarray(np.asarray(table.hi)),
-        lo=jnp.asarray(np.asarray(table.lo)),
-        length=jnp.asarray(np.asarray(table.length)),
-        counts=jnp.asarray(np.asarray(table.counts), jnp.int32),
-        n_unique=jnp.asarray(int(table.n_unique)),
-    )
+    return acc.result()

@@ -26,8 +26,11 @@ def atomic_savez(path: str, **arrays) -> None:
 
     Writing directly over an existing checkpoint would destroy it if
     the process dies mid-write — the exact event checkpoints exist to
-    survive.  Write to a temp file in the same directory, then
-    os.replace (atomic on POSIX).
+    survive.  Write to a temp file in the same directory, fsync the
+    data AND the directory entry, then os.replace (atomic on POSIX).
+    Without the fsyncs the rename can become durable before the data
+    blocks, leaving a truncated file under the final name after power
+    loss.
     """
     d = os.path.dirname(os.path.abspath(path)) or "."
     import tempfile
@@ -36,7 +39,14 @@ def atomic_savez(path: str, **arrays) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez_compressed(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         try:
             os.unlink(tmp)
@@ -98,40 +108,45 @@ def load_index(path: str) -> tuple[KmerIndex, dict]:
 class ResumableCount:
     """Checkpointed streaming count over an ordered list of input shards.
 
-    Progress = (shards_done, snapshot table).  On restart, completed
-    shards are skipped and counting resumes from the snapshot — exactness
-    is preserved because table merges are associative.
+    Progress = (shards_done, snapshot accumulator).  On restart,
+    completed shards are skipped and counting resumes from the snapshot
+    — exactness is preserved because merges are associative.  Counts
+    accumulate through the 64-bit fixed-capacity WideAccumulator
+    (ops/wide.py), so a resumed long count never overflows int32 and
+    never hits the r2 growing-accumulator recompile pattern.
     """
 
-    def __init__(self, ckpt_path: str):
+    def __init__(self, ckpt_path: str, capacity: int = 1 << 16):
+        from ..ops.wide import WideAccumulator
+
         self.ckpt_path = ckpt_path
-        self.table: CountTable | None = None
+        self._acc = WideAccumulator(capacity)
         self.shards_done = 0
         if os.path.exists(ckpt_path):
-            self.table, meta = load_table(ckpt_path)
+            from ..parallel.streaming import load_wide
+
+            acc, meta = load_wide(ckpt_path)
+            self._acc.seed(acc)
             self.shards_done = int(meta.get("shards_done", 0))
+
+    @property
+    def table(self):
+        """The accumulated WideCounts so far (None before any update)."""
+        return None if self._acc.empty else self._acc.result()
 
     def should_process(self, shard_idx: int) -> bool:
         return shard_idx >= self.shards_done
 
     def update(self, shard_idx: int, shard_table: CountTable) -> None:
-        from ..ops.count import merge_tables
-        import jax.numpy as jnp
-
-        if self.table is None:
-            self.table = shard_table
-        else:
-            prev = self.table
-            dev_prev = CountTable(
-                hi=jnp.asarray(np.asarray(prev.hi)),
-                lo=jnp.asarray(np.asarray(prev.lo)),
-                length=jnp.asarray(np.asarray(prev.length)),
-                counts=jnp.asarray(np.asarray(prev.counts), jnp.int32),
-                n_unique=jnp.asarray(int(prev.n_unique)),
-            )
-            self.table = merge_tables(dev_prev, shard_table)
+        self._acc.add(shard_table)
         self.shards_done = shard_idx + 1
 
     def checkpoint(self) -> None:
-        if self.table is not None:
-            save_table(self.table, self.ckpt_path, {"shards_done": self.shards_done})
+        if not self._acc.empty:
+            from ..parallel.streaming import save_wide
+
+            save_wide(
+                self._acc.result(),
+                self.ckpt_path,
+                {"shards_done": self.shards_done},
+            )

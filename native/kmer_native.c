@@ -245,7 +245,13 @@ static long long fasta_boundary(const char *buf, long long n, long long pos)
 
 /* Validated FASTQ record start: an '@' line whose line+2 begins '+'
  * (a quality line starting '@' fails: two lines later is the next
- * record's sequence line, which starts with a base, not '+'). */
+ * record's sequence line, which starts with a base, not '+').
+ * A candidate whose validation line lies beyond the buffer (j >= n)
+ * is REJECTED: near the end of the file a quality line starting '@'
+ * (Phred 31) inside the last record would otherwise be taken as a
+ * record start, emitting a phantom read when a chunk split lands in
+ * that record.  Returning n instead merges the tail into the
+ * predecessor chunk, which parses it sequentially and correctly. */
 static long long fastq_boundary(const char *buf, long long n, long long pos)
 {
     if (pos <= 0)
@@ -263,7 +269,7 @@ static long long fastq_boundary(const char *buf, long long n, long long pos)
                     j++;
                 j++;
             }
-            if (j >= n || buf[j] == '+')
+            if (j < n && buf[j] == '+')
                 return line;
         }
         while (i < n && buf[i] != '\n')

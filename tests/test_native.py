@@ -228,6 +228,48 @@ class TestMtParsers:
             assert np.array_equal(o1, ot), t
             assert np.array_equal(c1, ct), t
 
+    def test_fastq_mt_huge_final_record_at_quality_line(self):
+        """A chunk split landing inside one huge final record whose quality
+        line starts with '@' (Phred 31) must not emit a phantom read.
+
+        Regression for the fastq_boundary j >= n acceptance: with the
+        last record larger than n/threads, every split lands inside it
+        and the '@'-leading quality line near EOF used to validate as a
+        record start (no '+' line follows within the buffer)."""
+        import ctypes
+
+        from kmer_tpu import native
+
+        lib = native._load()
+        if lib is None:
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(7)
+        small = self._gen_fastq(5000, seed=7)
+        ln = 1 << 20  # one ~2 MB final record: exceeds n/threads for all t
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), ln))
+        q = b"@" + b"I" * (ln - 1)  # '@'-leading quality line (Phred 31)
+        data = small + b"@huge read\n%s\n+\n%s\n" % (seq, q)
+
+        def run(fn, *extra):
+            n = len(data)
+            codes = np.empty(n, np.uint8)
+            offs = np.empty(1 << 20, np.int64)
+            r = fn(data, n,
+                   codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                   1 << 20, 1, *extra)
+            assert r >= 0
+            total = int(offs[r])
+            return r, codes[:total].copy(), offs[: r + 1].copy()
+
+        r1, c1, o1 = run(lib.kn_fastq_encode)
+        assert r1 == 5001
+        for t in (2, 3, 8):
+            rt, ct, ot = run(lib.kn_fastq_encode_mt, t)
+            assert rt == r1, t
+            assert np.array_equal(o1, ot), t
+            assert np.array_equal(c1, ct), t
+
     def test_mt_via_python_api(self, monkeypatch):
         from kmer_tpu.native import fasta_encode, fastq_encode, native_available
 

@@ -116,3 +116,99 @@ class TestWideCounts:
         acc = WideCounts.empty(4)
         assert acc.to_dict() == {}
         assert acc.total() == 0
+
+
+class TestWideAccumulator:
+    """VERDICT r2 #2: universal 64-bit-exact streaming accumulation with
+    bounded compiles and no-drop geometric growth."""
+
+    def test_64_batches_past_2_31_exact_and_constant_compiles(self):
+        """>=64 same-shape batches totalling > 2^31 k-mers accumulate
+        exactly, through a bounded number of compiled merge programs."""
+        import dataclasses
+
+        from kmer_tpu.ops.wide import WideAccumulator, _merge_into_wide_jit
+
+        col = _pack_col(["acgt", "ggg", "acgt", "tt"])
+        batch = count_column(col)  # acgt:2, ggg:1, tt:1
+        # scale to ~1e8 per batch (int32-safe, as real per-batch counts are)
+        batch = dataclasses.replace(
+            batch, counts=batch.counts * jnp.int32(50_000_000)
+        )
+        before = _merge_into_wide_jit._cache_size()
+        acc = WideAccumulator(capacity=8)
+        for _ in range(64):
+            acc.add(batch)
+        compiles = _merge_into_wide_jit._cache_size() - before
+        assert compiles <= 2  # one shape pair (+1 if a growth re-homed)
+        d = acc.result().to_dict()
+        assert d == {
+            "acgt": 64 * 100_000_000,  # 6.4e9 > 2^32: hi lane exercised
+            "ggg": 64 * 50_000_000,    # > 2^31
+            "tt": 64 * 50_000_000,
+        }
+        assert acc.result().total() == 64 * 200_000_000
+
+    def test_growth_never_drops_keys(self):
+        """Distinct keys exceed the initial capacity many times over; the
+        bound-triggered growth must re-home before any merge can clip."""
+        from kmer_tpu.ops.wide import WideAccumulator
+
+        rng = np.random.default_rng(7)
+        acc = WideAccumulator(capacity=8)
+        want = {}
+        for b in range(20):
+            strs = [
+                "".join(rng.choice(list("acgt"), 6)) for _ in range(17)
+            ]
+            for s in strs:
+                want[s] = want.get(s, 0) + 1
+            acc.add(count_column(_pack_col(strs)))
+        assert acc.result().to_dict() == want
+        assert acc.capacity >= len(want)
+
+    def test_mixed_batch_shapes(self):
+        from kmer_tpu.ops.wide import WideAccumulator
+
+        acc = WideAccumulator(capacity=8)
+        want = {}
+        for i, strs in enumerate(
+            [["aa", "cc"], ["aa", "cc", "gg", "t", "ttt"], ["gg"]]
+        ):
+            for s in strs:
+                want[s] = want.get(s, 0) + 1
+            acc.add(count_column(_pack_col(strs)))
+        assert acc.result().to_dict() == want
+
+    def test_empty_raises(self):
+        import pytest
+
+        from kmer_tpu.ops.wide import WideAccumulator
+
+        with pytest.raises(ValueError):
+            WideAccumulator().result()
+
+    def test_resumable_count_past_2_31(self, tmp_path):
+        """A resumed long count crossing 2^31 stays exact (the r2 CLI
+        count path silently corrupted here via ops/count.py's int32
+        weighted cumsum)."""
+        import dataclasses
+
+        from kmer_tpu.utils.checkpoint import ResumableCount
+
+        col = _pack_col(["acgt", "acgt", "ca"])
+        batch = dataclasses.replace(
+            count_column(col),
+            counts=count_column(col).counts * jnp.int32(400_000_000),
+        )
+        path = str(tmp_path / "wide_resume.npz")
+        rc = ResumableCount(path)
+        for i in range(3):
+            rc.update(i, batch)
+        rc.checkpoint()
+        rc2 = ResumableCount(path)
+        assert rc2.should_process(3) and not rc2.should_process(2)
+        for i in range(3, 6):
+            rc2.update(i, batch)
+        d = rc2.table.to_dict()
+        assert d == {"acgt": 6 * 800_000_000, "ca": 6 * 400_000_000}
