@@ -35,6 +35,7 @@ class KmerTable:
     kmer: PackedKmers
     qkmer: list[Qkmer]
     _index: KmerIndex | None = None
+    _device_col: PackedKmers | None = None
 
     @classmethod
     def from_rows(cls, rows) -> "KmerTable":
@@ -47,15 +48,26 @@ class KmerTable:
 
     @classmethod
     def from_csv(cls, path: str) -> "KmerTable":
-        """Load the reference's CSV fixture shape (header dna,kmer,qkmer)."""
+        """Load the reference's CSV fixture shape (header dna,kmer,qkmer).
+
+        Malformed rows raise with the 1-based line number — the
+        reference's COPY fails fast on bad input (a silently smaller
+        table would be a parity hole in the ingest contract).
+        """
         rows = []
         with open(path) as f:
             header = f.readline()
             assert header.strip().lower().startswith("dna")
-            for line in f:
+            for lineno, line in enumerate(f, start=2):
+                if not line.strip():
+                    continue
                 parts = line.rstrip("\n").split(",")
-                if len(parts) == 3:
-                    rows.append(tuple(parts))
+                if len(parts) != 3:
+                    raise ValueError(
+                        f"{path}:{lineno}: expected 3 comma-separated "
+                        f"fields (dna,kmer,qkmer), got {len(parts)}"
+                    )
+                rows.append(tuple(parts))
         return cls.from_rows(rows)
 
     def __len__(self) -> int:
@@ -72,11 +84,16 @@ class KmerTable:
     # --- scan-path filters (seq scan) ----------------------------------------
 
     def _jcol(self) -> PackedKmers:
-        return PackedKmers(
-            hi=jnp.asarray(self.kmer.hi),
-            lo=jnp.asarray(self.kmer.lo),
-            length=jnp.asarray(self.kmer.length),
-        )
+        # cached device residency: the resident serve path issues one
+        # scan per query, and re-uploading the column each call would
+        # turn every query into a full host->device transfer
+        if self._device_col is None:
+            self._device_col = PackedKmers(
+                hi=jnp.asarray(self.kmer.hi),
+                lo=jnp.asarray(self.kmer.lo),
+                length=jnp.asarray(self.kmer.length),
+            )
+        return self._device_col
 
     def scan_eq(self, q) -> np.ndarray:
         km = PackedKmers.single(Kmer(q))

