@@ -26,9 +26,20 @@ class TestBenchHarness:
         assert r["detail"]["unique_kmers"] == _oracle_unique(512, 48, 8)
         assert r["detail"]["total_kmers"] == 512 * 41
         assert r["value"] > 0 and r["vs_baseline"] > 0
-        assert set(r["detail"]["phases"]) == {"extract", "sort", "count"}
+        # k=8 routes through the 1-lane sort: the hi+lo16 phase model
+        # does not apply, so no breakdown is published for it
+        assert "phases" not in r["detail"]
+
+    def test_fused_mode_phase_breakdown(self):
+        r = run_bench(n_reads=512, read_len=48, k=21)
+        assert r["detail"]["unique_kmers"] == _oracle_unique(512, 48, 21)
+        assert set(r["detail"]["phases"]) == {
+            "extract", "sort", "segment_counts",
+        }
         for ph in r["detail"]["phases"].values():
             assert ph["ms"] > 0 and ph["gb_per_s"] >= 0
+        assert r["detail"]["phases_sum_ms"] > 0
+        assert r["detail"]["hbm_sol_bytes_per_s"] > 0
 
     def test_stream_mode_matches_fused(self):
         a = run_bench(n_reads=512, read_len=48, k=21)
