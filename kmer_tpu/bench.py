@@ -154,15 +154,21 @@ def run_bench(
     extract_j = jax.jit(lambda w: [jnp.max(v) for v in extract_all(w)])
     hi, lo = jax.jit(extract_all)(words)
     sync(hi)
+    def _shared_out():
+        o = _result(total, dt_dev, n_reads, read_len, k, canonical, 1,
+                    n_unique, mode="coverage" if coverage_genome else "fused")
+        if coverage_genome:
+            o["detail"]["genome_bases"] = coverage_genome
+            o["detail"]["mean_kmer_multiplicity"] = round(total / n_unique, 2)
+        o["detail"]["host_wire_kmers_per_s"] = round(total / dt_wire, 1)
+        o["detail"]["host_wire_wall_s"] = round(dt_wire, 3)
+        return o
+
     if not (16 < k <= 24):
         # the lane model below (hi + 16-bit lo) matches count_windows'
         # 16 < k <= 24 branch only; other k values route differently and
         # a mislabeled breakdown is worse than none
-        out = _result(total, dt_dev, n_reads, read_len, k, canonical, 1,
-                      n_unique, mode="coverage" if coverage_genome else "fused")
-        out["detail"]["host_wire_kmers_per_s"] = round(total / dt_wire, 1)
-        out["detail"]["host_wire_wall_s"] = round(dt_wire, 3)
-        return out
+        return _shared_out()
     lo16 = (lo >> jnp.uint32(16)).astype(jnp.uint16)
     # consume BOTH sort outputs via max reductions: returning a slice of
     # one lets XLA dead-code-eliminate the other lane's movement and the
@@ -214,13 +220,7 @@ def run_bench(
     }
     phases_sum_ms = round(sum(prof.phases.values()) * 1e3, 1)
 
-    out = _result(total, dt_dev, n_reads, read_len, k, canonical, 1,
-                  n_unique, mode="coverage" if coverage_genome else "fused")
-    if coverage_genome:
-        out["detail"]["genome_bases"] = coverage_genome
-        out["detail"]["mean_kmer_multiplicity"] = round(total / n_unique, 2)
-    out["detail"]["host_wire_kmers_per_s"] = round(total / dt_wire, 1)
-    out["detail"]["host_wire_wall_s"] = round(dt_wire, 3)
+    out = _shared_out()
     out["detail"]["phases"] = phases
     out["detail"]["phases_sum_ms"] = phases_sum_ms
     out["detail"]["hbm_sol_bytes_per_s"] = sol_bw
