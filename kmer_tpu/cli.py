@@ -283,6 +283,45 @@ def _run_bench_modes(args) -> int:
     return 0
 
 
+def _cmd_distcount(args) -> int:
+    """Distributed streaming count (BASELINE configs[3] entry point).
+
+    One process per host; every process names the same coordinator and
+    its own input shard.  The result is sharded: each rank writes its
+    disjoint hash range to <out>.rank{i}.npz (merge on the host with
+    parallel.driver.merge_rank_files).
+    """
+    from .parallel.driver import run_distcount
+    from .utils.logging import StatsCounters, get_logger
+
+    stats = StatsCounters()
+    local, overflow = run_distcount(
+        input_path=args.input,
+        k=args.k,
+        fmt=args.format,
+        canonical=args.canonical,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        batch=args.batch,
+        width=args.width,
+        acc_capacity=args.acc_capacity,
+        ckpt=args.ckpt,
+        ckpt_every=args.ckpt_every,
+        out=args.out,
+        stats=stats,
+    )
+    get_logger().info("stats %s", stats.to_json())
+    t = local.trim()
+    print(json.dumps({
+        "rank": __import__("jax").process_index(),
+        "local_groups": int(t.n_unique),
+        "local_total": int(t.counts64().sum()),
+        "overflow": overflow,
+    }))
+    return 0 if overflow == 0 else 3
+
+
 def _cmd_selftest(args) -> int:
     """Quick end-to-end smoke covering every subsystem on small data."""
     from . import (
@@ -377,6 +416,28 @@ def main(argv=None) -> int:
                    help="sample reads from one random genome of this size "
                         "(realistic duplication) instead of uniform-random")
     b.set_defaults(fn=_cmd_bench)
+
+    dc = sub.add_parser(
+        "distcount",
+        help="multi-host distributed streaming count (one process per host)",
+    )
+    dc.add_argument("--input", required=True, help="this host's FASTA/FASTQ shard")
+    dc.add_argument("--format", choices=["fasta", "fastq"], default=None)
+    dc.add_argument("-k", type=int, default=21)
+    dc.add_argument("--canonical", action="store_true")
+    dc.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    dc.add_argument("--num-processes", type=int, default=None)
+    dc.add_argument("--process-id", type=int, default=None)
+    dc.add_argument("--batch", type=int, default=4096,
+                    help="per-host reads per step (global = batch x hosts)")
+    dc.add_argument("--width", type=int, default=256,
+                    help="fixed row width; longer reads split exactly")
+    dc.add_argument("--acc-capacity", type=int, default=1 << 16,
+                    help="per-device accumulator slots")
+    dc.add_argument("--ckpt", default=None, help="checkpoint path stem")
+    dc.add_argument("--ckpt-every", type=int, default=16)
+    dc.add_argument("--out", default=None, help="result path stem (.rank{i}.npz)")
+    dc.set_defaults(fn=_cmd_distcount)
 
     s = sub.add_parser("selftest", help="end-to-end smoke test")
     s.set_defaults(fn=_cmd_selftest)

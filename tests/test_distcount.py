@@ -1,0 +1,221 @@
+"""Multi-host distcount driver (parallel/driver.py).
+
+VERDICT r2 missing #4: the operational entry point composing
+initialize_multihost + pod mesh + per-host batches + sharded streaming +
+rank checkpointing.  The 2-process integration test launches two real
+CLI processes against a localhost coordinator and checks their merged
+rank tables against a single-process run over the concatenated input.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from kmer_tpu.parallel.driver import (
+    file_batches_fixed,
+    merge_rank_files,
+    run_distcount,
+    split_long_reads,
+)
+
+BASES = "acgt"
+K = 5
+
+
+def _windows(s, k):
+    return [s[i : i + k] for i in range(max(len(s) - k + 1, 0))]
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i}\n{s}\n")
+
+
+def _rand_seqs(n, rng, lo=3, hi=300):
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(lo, hi))
+        out.append("".join(rng.choice(list(BASES), ln)))
+    return out
+
+
+class TestSplitLongReads:
+    def test_windows_preserved_exactly(self):
+        rng = np.random.default_rng(0)
+        seqs = _rand_seqs(40, rng, lo=1, hi=500)
+        codes = np.concatenate(
+            [[BASES.index(c) for c in s] for s in seqs if s] or [[]]
+        ).astype(np.uint8)
+        offs = np.concatenate([[0], np.cumsum([len(s) for s in seqs])]).astype(
+            np.int64
+        )
+        rows, lens = split_long_reads(codes, offs, width=64, k=K)
+        got = Counter()
+        for row, ln in zip(rows, lens):
+            s = "".join(BASES[b] for b in row[:ln])
+            got.update(_windows(s, K))
+        want = Counter()
+        for s in seqs:
+            want.update(_windows(s, K))
+        assert got == want
+
+    def test_short_reads_single_row(self):
+        codes = np.asarray([0, 1, 2], np.uint8)
+        offs = np.asarray([0, 3], np.int64)
+        rows, lens = split_long_reads(codes, offs, width=16, k=K)
+        assert rows.shape == (1, 16) and lens.tolist() == [3]
+
+    def test_width_too_small_raises(self):
+        with pytest.raises(ValueError):
+            split_long_reads(np.zeros(4, np.uint8), np.asarray([0, 4]), 4, K)
+
+
+class TestSingleProcessDriver:
+    def test_matches_host_oracle(self, tmp_path):
+        import jax
+
+        from kmer_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(1)
+        seqs = _rand_seqs(300, rng)
+        fa = tmp_path / "reads.fasta"
+        _write_fasta(fa, seqs)
+        mesh = make_mesh((8, 1), jax.devices()[:8])
+        local, overflow = run_distcount(
+            str(fa), K, batch=64, width=128, acc_capacity=2048, mesh=mesh,
+        )
+        assert overflow == 0
+        want = Counter()
+        for s in seqs:
+            want.update(_windows(s, K))
+        assert local.to_dict() == dict(want)
+
+    def test_checkpoint_resume(self, tmp_path):
+        import jax
+
+        from kmer_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(2)
+        # lengths < width so each read is exactly one row: the head-file
+        # checkpoint then corresponds to a clean batch prefix of the
+        # full file (split pieces would break that correspondence)
+        seqs = _rand_seqs(200, rng, lo=6, hi=100)
+        fa = tmp_path / "reads.fasta"
+        _write_fasta(fa, seqs)
+        mesh = make_mesh((8, 1), jax.devices()[:8])
+        ck = str(tmp_path / "ck")
+
+        # full run with checkpoints every batch
+        full, _ = run_distcount(
+            str(fa), K, batch=32, width=128, acc_capacity=2048, mesh=mesh,
+            ckpt=str(tmp_path / "ck_full"), ckpt_every=1,
+        )
+
+        # simulate a crash: run with a wrapper that stops after 2 batches
+        batches = list(file_batches_fixed(str(fa), "fasta", K, 32, 128))
+        assert len(batches) >= 4
+
+        # drive run_distcount but only feed the first 2 batches by
+        # truncating the input file to those reads is fiddly; instead
+        # checkpoint every batch and delete later state: run fully, then
+        # rewind the checkpoint to batch 2 and resume — resume must skip
+        # exactly the first 2 batches and reproduce the full table.
+        run_distcount(
+            str(fa), K, batch=32, width=128, acc_capacity=2048, mesh=mesh,
+            ckpt=ck, ckpt_every=1,
+        )
+        # rebuild a batch-2 checkpoint: re-run feeding only 2 batches via
+        # a truncated fasta (first 64 reads — batches are file-ordered)
+        fa2 = tmp_path / "head.fasta"
+        _write_fasta(fa2, seqs[:64])
+        ck2 = str(tmp_path / "ck2")
+        run_distcount(
+            str(fa2), K, batch=32, width=128, acc_capacity=2048, mesh=mesh,
+            ckpt=ck2, ckpt_every=1,
+        )
+        # resume from the head checkpoint over the full file
+        resumed, overflow = run_distcount(
+            str(fa), K, batch=32, width=128, acc_capacity=2048, mesh=mesh,
+            ckpt=ck2, ckpt_every=4,
+        )
+        assert overflow == 0
+        assert resumed.to_dict() == full.to_dict()
+
+    def test_mesh_mismatch_rejected(self, tmp_path):
+        import jax
+
+        from kmer_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        seqs = _rand_seqs(80, rng)
+        fa = tmp_path / "r.fasta"
+        _write_fasta(fa, seqs)
+        ck = str(tmp_path / "ck")
+        mesh8 = make_mesh((8, 1), jax.devices()[:8])
+        run_distcount(str(fa), K, batch=32, width=128, mesh=mesh8,
+                      acc_capacity=2048, ckpt=ck, ckpt_every=1)
+        mesh4 = make_mesh((4, 1), jax.devices()[:4])
+        with pytest.raises(ValueError, match="mesh"):
+            run_distcount(str(fa), K, batch=32, width=128, mesh=mesh4,
+                          acc_capacity=2048, ckpt=ck, ckpt_every=1)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestTwoProcessIntegration:
+    def test_two_ranks_match_single_process(self, tmp_path):
+        """Two real CLI processes + localhost coordinator == one process
+        over the concatenated input (BASELINE configs[3] N>=2 hosts)."""
+        rng = np.random.default_rng(4)
+        shard0 = _rand_seqs(150, rng)
+        shard1 = _rand_seqs(150, rng)
+        _write_fasta(tmp_path / "s0.fasta", shard0)
+        _write_fasta(tmp_path / "s1.fasta", shard1)
+        port = _free_port()
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["KMER_TPU_FORCE_CPU"] = "1"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        procs = []
+        for pid in (0, 1):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "kmer_tpu", "distcount",
+                 "--input", str(tmp_path / f"s{pid}.fasta"),
+                 "-k", str(K), "--batch", "64", "--width", "128",
+                 "--acc-capacity", "4096",
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", "2", "--process-id", str(pid),
+                 "--out", str(tmp_path / "result")],
+                cwd="/root/repo", env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        assert {o["rank"] for o in outs} == {0, 1}
+        assert all(o["overflow"] == 0 for o in outs)
+
+        merged = merge_rank_files([
+            str(tmp_path / "result.rank0.npz"),
+            str(tmp_path / "result.rank1.npz"),
+        ])
+        want = Counter()
+        for s in shard0 + shard1:
+            want.update(_windows(s, K))
+        assert merged.to_dict() == dict(want)
