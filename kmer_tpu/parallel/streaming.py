@@ -57,9 +57,15 @@ def make_sharded_stream_step(
     def local_step(acc: WideCounts, overflow, codes_l, lengths_l):
         hi, lo, valid = _extract_with_halo(codes_l, lengths_l, k, sp, canonical)
         table = count_windows(hi, lo, valid, k)
-        n = table.hi.shape[0]
-        cap = max(8, int(slack * n / n_parts + 1))
-        shard_table, ovf = _partition_merge_local(table, n_parts, cap, axes)
+        if n_parts == 1:
+            # single device owns the whole hash range: the bucket-route
+            # sort + all_to_all would be a full extra sort of the table
+            # for nothing — fold straight into the accumulator
+            shard_table, ovf = table, jnp.zeros((), jnp.int32)
+        else:
+            n = table.hi.shape[0]
+            cap = max(8, int(slack * n / n_parts + 1))
+            shard_table, ovf = _partition_merge_local(table, n_parts, cap, axes)
         acc2 = merge_into_wide(acc, shard_table)
         local_miss = jnp.maximum(acc2.n_unique - acc_capacity, 0)
         g_unique = jax.lax.psum(acc2.n_unique, axes)
