@@ -78,13 +78,24 @@ def _reads_file_batches(path: str, fmt: str, k: int, batch: int = 4096):
         # one vectorized gather per batch (rows[i, j] = codes[offs[i] + j],
         # zeroed past each read's length) — a per-read Python loop here
         # costs minutes of interpreter time at configs[3] scale while the
-        # native parser delivers >1 GB/s
-        col = np.arange(width, dtype=np.int64)[None, :]
+        # native parser delivers >1 GB/s.  Length-bucketing makes batches
+        # near-uniform, so the bulk [:, :lmin] gathers unmasked with no
+        # index clamp (int32 indices when they fit); only the ragged tail
+        # columns pay the mask+clamp.
+        rows = np.zeros((sel.size, width), np.uint8)
         if codes.size:
-            idx = np.minimum(offs[sel][:, None] + col, codes.size - 1)
-            rows = np.where(col < ls[:, None], codes[idx], np.uint8(0))
-        else:
-            rows = np.zeros((sel.size, width), np.uint8)
+            idx_t = np.int32 if codes.size + width < 2**31 else np.int64
+            base = offs[sel].astype(idx_t)[:, None]
+            lmin = int(ls.min())
+            lmax = int(ls.max())
+            col = np.arange(lmin, dtype=idx_t)[None, :]
+            rows[:, :lmin] = codes[base + col]
+            if lmax > lmin:
+                colt = np.arange(lmin, lmax, dtype=idx_t)[None, :]
+                idx = np.minimum(base + colt, idx_t(codes.size - 1))
+                rows[:, lmin:lmax] = np.where(
+                    colt < ls[:, None], codes[idx], np.uint8(0)
+                )
         yield rows, ls
 
 

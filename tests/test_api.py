@@ -173,6 +173,34 @@ class TestCli:
         total = sum(int(ls.sum() - (3 - 1) * (ls >= 3).sum()) for _, ls in batches)
         assert total == 10 * 6 + (20000 - 2)
 
+    def test_reads_batches_exact_codes_ragged(self, tmp_path):
+        """Mixed lengths in one batch: bulk gather + masked tail columns
+        must reproduce each read's codes exactly, zero-padded past its
+        length — including the file's last read (index-clamp path)."""
+        import numpy as np
+
+        from kmer_tpu.cli import _reads_file_batches
+
+        rng = np.random.default_rng(5)
+        seqs = [
+            "".join("acgt"[c] for c in rng.integers(0, 4, ln))
+            for ln in [5, 9, 13, 21, 33, 64, 65, 7]
+        ]
+        fa = tmp_path / "ragged.fasta"
+        fa.write_bytes(
+            b"".join(
+                b">r%d\n%s\n" % (i, s.encode()) for i, s in enumerate(seqs)
+            )
+        )
+        code = {"a": 0, "c": 1, "g": 2, "t": 3}
+        want = sorted(seqs, key=len)
+        (rows, ls), = list(_reads_file_batches(str(fa), "fasta", k=3, batch=8))
+        assert rows.shape[0] == 8
+        for i, s in enumerate(want):
+            assert ls[i] == len(s)
+            assert rows[i, : len(s)].tolist() == [code[ch] for ch in s]
+            assert not rows[i, len(s):].any()
+
     def test_count_gzipped_fastq_cli(self, tmp_path):
         import gzip
 
