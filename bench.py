@@ -34,6 +34,23 @@ def main() -> int:
         fn = run_bench_stream if mode == "stream" else run_bench
         result = fn(n_reads=n_reads, read_len=150, k=21, canonical=True)
     detail = result.pop("detail", {})
+    # surface the sustained configs[3]-scale run (scripts/sustained_r3.py,
+    # run separately on hardware: >=1e10 k-mers streamed + kill/resume)
+    sus_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SUSTAINED.json")
+    if os.path.exists(sus_path):
+        try:
+            with open(sus_path) as f:
+                s = json.load(f)
+            detail["sustained"] = {
+                k: s[k]
+                for k in ("value", "total_kmers", "wall_s",
+                          "checkpoint_overhead_pct", "n_checkpoints",
+                          "kill_resume_verified", "distinct", "device")
+                if k in s
+            }
+        except Exception:
+            pass
     print(json.dumps(result), flush=True)
     print(json.dumps({"detail": detail}), file=sys.stderr)
     return 0

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..packed import PackedKmers
-from .count import SENTINEL, SENTINEL_LEN, CountTable, _boundaries
+from .count import SENTINEL, SENTINEL_LEN, CountTable, _boundaries, _segment_counts
 
 
 def _pair_add(ah, al, bh, bl):
@@ -200,6 +200,101 @@ def _merge_unique_sources(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCoun
     )
     head = new & (sln != jnp.int32(SENTINEL_LEN))
     return _compact_fit(head, shi, slo, sln, th, tl, capacity)
+
+
+def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts:
+    """One-sort fold of raw extraction windows into a wide accumulator.
+
+    Replaces ``count_windows(batch)`` + ``merge_into_wide(acc, table)``
+    — a batch sort PLUS a merge sort — with a single combined sort:
+    windows enter the merge sort directly at unit weight (a step's
+    per-segment increment is bounded by the batch size, so the int32
+    positional segment count stays exact), and the accumulator
+    contributes at most one wide entry per key, which a trailing tag
+    sort key pins to its segment head (one neighbor-free pair-add — no
+    64-bit cumsum).  This is the single-device streaming hot path; the
+    multi-device path still needs the per-batch table for all_to_all
+    hash routing and keeps the two-step shape.
+
+    Sort-lane narrowing mirrors count_windows: the lo lane is dropped
+    when k makes it identically zero, rides as uint16 when only its top
+    half is used, and the length lane is only materialized for k == 32
+    (where a real all-t key is bitwise equal to the sentinel).
+    """
+    cap = acc.capacity
+    hi = jnp.asarray(hi, jnp.uint32).ravel()
+    lo = jnp.asarray(lo, jnp.uint32).ravel()
+    masked = valid is not None
+    if masked:
+        v = jnp.asarray(valid).ravel()
+        hi = jnp.where(v, hi, jnp.uint32(SENTINEL))
+        lo = jnp.where(v, lo, jnp.uint32(SENTINEL))
+    n_w = hi.shape[0]
+    tag = jnp.concatenate(
+        [jnp.zeros((cap,), jnp.uint8), jnp.ones((n_w,), jnp.uint8)]
+    )
+    wh = jnp.concatenate([acc.counts_hi, jnp.zeros((n_w,), jnp.int32)])
+    wl = jnp.concatenate([acc.counts_lo, jnp.zeros((n_w,), jnp.uint32)])
+    ah = jnp.concatenate([acc.hi, hi])
+    al = jnp.concatenate([acc.lo, lo])
+
+    # Narrowing bounds differ from count_windows: dead accumulator slots
+    # mean sentinel keys are ALWAYS present here, so each tier must keep
+    # enough lanes to separate a real all-t key from the sentinel:
+    # k <= 15 leaves zero low bits in hi; k <= 23 leaves them in lo16;
+    # k <= 31 leaves them in lo; k == 32 needs the length lane.
+    if k <= 15:
+        sh, stag, swh, swl = jax.lax.sort(
+            (ah, tag, wh, wl), num_keys=2, is_stable=False
+        )
+        sl = jnp.zeros_like(sh)
+        new = jnp.concatenate([jnp.ones((1,), bool), sh[1:] != sh[:-1]])
+        is_sent = sh == jnp.uint32(SENTINEL)
+    elif k <= 23:
+        lo16 = (al >> jnp.uint32(16)).astype(jnp.uint16)
+        sh, sl16, stag, swh, swl = jax.lax.sort(
+            (ah, lo16, tag, wh, wl), num_keys=3, is_stable=False
+        )
+        sl = sl16.astype(jnp.uint32) << jnp.uint32(16)
+        new = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (sh[1:] != sh[:-1]) | (sl16[1:] != sl16[:-1])]
+        )
+        is_sent = (sh == jnp.uint32(SENTINEL)) & (sl16 == jnp.uint16(0xFFFF))
+    elif k < 32:
+        sh, sl, stag, swh, swl = jax.lax.sort(
+            (ah, al, tag, wh, wl), num_keys=3, is_stable=False
+        )
+        new = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])]
+        )
+        is_sent = (sh == jnp.uint32(SENTINEL)) & (sl == jnp.uint32(SENTINEL))
+    else:
+        # k == 32: a real all-t key is bitwise all-ones — only the
+        # length lane separates it from sentinels
+        wln = jnp.full((n_w,), k, jnp.int32)
+        if masked:
+            wln = jnp.where(v, wln, jnp.int32(SENTINEL_LEN))
+        aln = jnp.concatenate([acc.length, wln])
+        sh, sl, sln, stag, swh, swl = jax.lax.sort(
+            (ah, al, aln, tag, wh, wl), num_keys=4, is_stable=False
+        )
+        new = _boundaries(sh, sl, sln)
+        is_sent = sln == jnp.int32(SENTINEL_LEN)
+
+    ucnt = _segment_counts(new, stag.astype(jnp.int32))
+    at_acc_head = new & (stag == 0)
+    th, tl = _pair_add(
+        jnp.where(at_acc_head, swh, 0),
+        jnp.where(at_acc_head, swl, jnp.uint32(0)),
+        jnp.zeros_like(swh),
+        jnp.where(new, ucnt, 0).astype(jnp.uint32),
+    )
+    head = new & ~is_sent
+    if k < 32:
+        sln = jnp.where(is_sent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
+    return _compact_fit(head, sh, sl, sln, th, tl, cap)
 
 
 def count_packed_wide(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCounts:

@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..ops.count import count_windows
-from ..ops.wide import WideCounts, merge_into_wide
+from ..ops.wide import WideCounts, fold_windows_into_wide, merge_into_wide
 from ..utils.logging import StatsCounters, get_logger
 from .dist import _extract_with_halo, _partition_merge_local, _shard_map
 from .mesh import AXIS_DATA, AXIS_SEQ
@@ -56,17 +56,19 @@ def make_sharded_stream_step(
 
     def local_step(acc: WideCounts, overflow, codes_l, lengths_l):
         hi, lo, valid = _extract_with_halo(codes_l, lengths_l, k, sp, canonical)
-        table = count_windows(hi, lo, valid, k)
         if n_parts == 1:
-            # single device owns the whole hash range: the bucket-route
-            # sort + all_to_all would be a full extra sort of the table
-            # for nothing — fold straight into the accumulator
-            shard_table, ovf = table, jnp.zeros((), jnp.int32)
+            # single device owns the whole hash range: no bucket-route
+            # all_to_all needed, AND the per-batch count sort folds into
+            # the merge sort — raw windows enter at unit weight
+            # (ops/wide.fold_windows_into_wide), one sort instead of two
+            acc2 = fold_windows_into_wide(acc, hi, lo, valid, k)
+            ovf = jnp.zeros((), jnp.int32)
         else:
+            table = count_windows(hi, lo, valid, k)
             n = table.hi.shape[0]
             cap = max(8, int(slack * n / n_parts + 1))
             shard_table, ovf = _partition_merge_local(table, n_parts, cap, axes)
-        acc2 = merge_into_wide(acc, shard_table)
+            acc2 = merge_into_wide(acc, shard_table)
         local_miss = jnp.maximum(acc2.n_unique - acc_capacity, 0)
         g_unique = jax.lax.psum(acc2.n_unique, axes)
         acc2 = dataclasses.replace(acc2, n_unique=g_unique)

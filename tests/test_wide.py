@@ -212,3 +212,118 @@ class TestWideAccumulator:
             rc2.update(i, batch)
         d = rc2.table.to_dict()
         assert d == {"acgt": 6 * 800_000_000, "ca": 6 * 400_000_000}
+
+
+class TestFoldWindows:
+    """fold_windows_into_wide == count_windows + merge_into_wide, at every
+    sort-lane narrowing tier (the single-device streaming hot path)."""
+
+    def _windows(self, rng, n, k, masked):
+        from kmer_tpu.ops.extract import canonicalize
+
+        # random packed keys with the left-aligned zero-padding invariant
+        bits = 2 * k
+        hi = rng.integers(0, 2**min(32, bits), n, dtype=np.uint64)
+        hi <<= max(0, 32 - bits)
+        lo = np.zeros(n, np.uint64)
+        if bits > 32:
+            lo = rng.integers(0, 2 ** (bits - 32), n, dtype=np.uint64)
+            lo <<= 64 - bits
+        hi = jnp.asarray(hi.astype(np.uint32))
+        lo = jnp.asarray(lo.astype(np.uint32))
+        hi, lo = canonicalize(hi, lo, k)
+        valid = (
+            jnp.asarray(rng.random(n) < 0.85) if masked else None
+        )
+        return hi, lo, valid
+
+    def _oracle(self, acc, hi, lo, valid, k):
+        from kmer_tpu.ops.count import count_windows
+
+        return merge_into_wide(acc, count_windows(hi, lo, valid, k))
+
+    def _assert_equal(self, a, b):
+        at, bt = a.trim(), b.trim()
+        np.testing.assert_array_equal(at.hi, bt.hi)
+        np.testing.assert_array_equal(at.lo, bt.lo)
+        np.testing.assert_array_equal(at.length, bt.length)
+        np.testing.assert_array_equal(at.counts64(), bt.counts64())
+        assert int(a.n_unique) == int(b.n_unique)
+
+    def test_matches_two_step_all_tiers(self):
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        rng = np.random.default_rng(11)
+        for k in (4, 15, 16, 21, 23, 24, 31, 32):
+            for masked in (False, True):
+                acc = WideCounts.empty(512)
+                oracle_acc = WideCounts.empty(512)
+                for _ in range(3):
+                    hi, lo, valid = self._windows(rng, 300, k, masked)
+                    acc = fold_windows_into_wide(acc, hi, lo, valid, k)
+                    oracle_acc = self._oracle(oracle_acc, hi, lo, valid, k)
+                self._assert_equal(acc, oracle_acc)
+
+    def test_duplicate_heavy_and_all_t(self):
+        """Skewed duplicates + the all-t key that aliases the sentinel
+        bit pattern at k == 16, 24, 32."""
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        for k in (16, 24, 32):
+            n = 200
+            hi = jnp.full((n,), 0xFFFFFFFF, jnp.uint32)  # poly-t
+            bits = 2 * k
+            lo = jnp.full(
+                (n,),
+                (0xFFFFFFFF << max(0, 64 - bits)) & 0xFFFFFFFF
+                if bits > 32
+                else 0,
+                jnp.uint32,
+            )
+            valid = jnp.asarray(np.arange(n) % 4 != 3)
+            acc = WideCounts.empty(64)
+            got = fold_windows_into_wide(acc, hi, lo, valid, k)
+            oracle = self._oracle(WideCounts.empty(64), hi, lo, valid, k)
+            self._assert_equal(got, oracle)
+            assert int(got.n_unique) == 1
+            assert got.trim().counts64().tolist() == [150]
+
+    def test_counts_past_2_31_exact(self):
+        """Folding onto an accumulator already past 2^31 stays exact."""
+        import dataclasses
+
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        k = 21
+        hi = jnp.asarray([0x12345600, 0xABCDEF00], jnp.uint32)
+        lo = jnp.asarray([0x55530000, 0xAAA80000], jnp.uint32)
+        acc = WideCounts.empty(16)
+        acc = fold_windows_into_wide(acc, hi, lo, None, k)
+        # push the first key's count to 3e9 by editing the wide lanes
+        acc = dataclasses.replace(
+            acc,
+            counts_hi=acc.counts_hi.at[0].set(0),
+            counts_lo=acc.counts_lo.at[0].set(0),
+        )
+        big = 3_000_000_000
+        acc = dataclasses.replace(
+            acc,
+            counts_hi=acc.counts_hi.at[0].set(big >> 32),
+            counts_lo=acc.counts_lo.at[0].set(big & 0xFFFFFFFF),
+        )
+        got = fold_windows_into_wide(acc, hi, lo, None, k)
+        t = got.trim()
+        c = dict(zip(t.hi.tolist(), t.counts64().tolist()))
+        assert big + 1 in c.values() and 2 in c.values()
+
+    def test_overflow_detection_matches(self):
+        """n_unique > capacity must be reported like merge_into_wide."""
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        rng = np.random.default_rng(3)
+        hi, lo, _ = self._windows(rng, 300, 21, False)
+        acc = WideCounts.empty(8)
+        got = fold_windows_into_wide(acc, hi, lo, None, 21)
+        oracle = self._oracle(WideCounts.empty(8), hi, lo, None, 21)
+        assert int(got.n_unique) == int(oracle.n_unique)
+        assert int(got.n_unique) > 8
