@@ -292,9 +292,50 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
         jnp.where(new, ucnt, 0).astype(jnp.uint32),
     )
     head = new & ~is_sent
-    if k < 32:
-        sln = jnp.where(is_sent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
-    return _compact_fit(head, sh, sl, sln, th, tl, cap)
+    if k == 32:
+        return _compact_fit(head, sh, sl, sln, th, tl, cap)
+
+    # narrowed compaction for k < 32: non-heads fold to all-sentinel
+    # keys, which real keys cannot equal (zero padding bits), so the
+    # dead slots sort last with no tag or length lane; lo rides as
+    # uint16 when k allows
+    th = jnp.where(head, th, 0)
+    tl = jnp.where(head, tl, jnp.uint32(0))
+    n_unique = jnp.sum(head.astype(jnp.int32))
+    khi = jnp.where(head, sh, jnp.uint32(SENTINEL))
+
+    def fit(x, fill):
+        if x.shape[0] >= cap:
+            return x[:cap]
+        return jnp.concatenate([x, jnp.full((cap - x.shape[0],), fill, x.dtype)])
+
+    if k <= 15:
+        khi, th, tl = jax.lax.sort((khi, th, tl), num_keys=1, is_stable=False)
+        klo = jnp.zeros_like(khi)
+        ksent = khi == jnp.uint32(SENTINEL)
+    elif k <= 23:
+        klo16 = jnp.where(head, (sl >> jnp.uint32(16)).astype(jnp.uint16),
+                          jnp.uint16(0xFFFF))
+        khi, klo16, th, tl = jax.lax.sort(
+            (khi, klo16, th, tl), num_keys=2, is_stable=False
+        )
+        klo = klo16.astype(jnp.uint32) << jnp.uint32(16)
+        ksent = (khi == jnp.uint32(SENTINEL)) & (klo16 == jnp.uint16(0xFFFF))
+    else:
+        klo = jnp.where(head, sl, jnp.uint32(SENTINEL))
+        khi, klo, th, tl = jax.lax.sort(
+            (khi, klo, th, tl), num_keys=2, is_stable=False
+        )
+        ksent = (khi == jnp.uint32(SENTINEL)) & (klo == jnp.uint32(SENTINEL))
+    kln = jnp.where(ksent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
+    return WideCounts(
+        hi=fit(khi, SENTINEL),
+        lo=fit(klo, SENTINEL),
+        length=fit(kln, SENTINEL_LEN),
+        counts_hi=fit(th, 0),
+        counts_lo=fit(tl, 0),
+        n_unique=n_unique,
+    )
 
 
 def count_packed_wide(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCounts:
