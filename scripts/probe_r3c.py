@@ -45,8 +45,9 @@ SENT_LO = jnp.uint16(0xFFFF)
 
 
 def sync(x):
-    for leaf in jax.tree_util.tree_leaves(x):
-        np.asarray(jax.device_get(leaf))
+    # block, do NOT device_get: a CountTable is ~2.2 GB and the tunnel
+    # moves 36 MB/s — the r3c v1 run spent 100% of its budget fetching
+    jax.block_until_ready(x)
     return x
 
 
@@ -71,14 +72,16 @@ from kmer_tpu.ops.extract import canonicalize, extract_from_words
 from kmer_tpu.ops.count import count_windows
 
 READ_LEN, K = 150, 21
-N = 130 * (1 << 20)  # 136.3M
+SMALL = bool(os.environ.get("KMER_PROBE_SMALL"))  # CPU correctness mode
+N = 130 * (1 << 10) if SMALL else 130 * (1 << 20)  # 136.3M full-size
 
 
 def make_lanes(coverage: bool):
     rng = np.random.default_rng(0 if not coverage else 7)
-    n_reads = 1 << 20
+    n_reads = 1 << 10 if SMALL else 1 << 20
     if coverage:
-        genome = rng.integers(0, 4, 5_000_000, dtype=np.uint8)
+        genome = rng.integers(0, 4, 5_000 if SMALL else 5_000_000,
+                              dtype=np.uint8)
         starts = rng.integers(0, genome.size - READ_LEN + 1, n_reads)
         reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
         flip = rng.random(n_reads) < 0.5
@@ -99,15 +102,15 @@ def make_lanes(coverage: bool):
     return hi, lo16
 
 
-def checksums_from_table(t):
-    """(n_unique, total, c1, c2) from a production CountTable."""
-    cnt = np.asarray(t.counts, np.uint32)
-    hi = np.asarray(t.hi, np.uint64)
-    lo = np.asarray(t.length, np.uint64) * 0  # length lane constant k here
-    lo16 = (np.asarray(t.lo, np.uint64) >> 16) & 0xFFFF
-    c1 = np.uint32((hi * cnt).sum() & 0xFFFFFFFF)
-    c2 = np.uint32(((lo16 + 1) * cnt).sum() & 0xFFFFFFFF)
-    return int(t.n_unique), int(cnt.sum()), int(c1), int(c2)
+def prod_scalars(h, l, k):
+    """(n_unique, total, c1, c2) of the production count — on device,
+    so benching it never moves the 2.2 GB table over the tunnel."""
+    t = count_windows(h, l, None, k)
+    cnt = jnp.asarray(t.counts, jnp.uint32)
+    c1 = jnp.sum(jnp.asarray(t.hi, jnp.uint32) * cnt)
+    c2 = jnp.sum(((jnp.asarray(t.lo, jnp.uint32) >> jnp.uint32(16))
+                  + jnp.uint32(1)) * cnt)
+    return t.n_unique, jnp.sum(cnt), c1, c2
 
 
 def make_partition_count(R, C, P, seg):
@@ -177,38 +180,48 @@ def make_partition_count(R, C, P, seg):
     return jax.jit(run)
 
 
+# jits are built ONCE and reused across workloads (same shapes — no
+# recompiles for the coverage pass)
+_prod_jit = jax.jit(partial(prod_scalars, k=K))
+
+
+def _consume2(a, b):
+    return jnp.maximum(jnp.max(a), b.max().astype(jnp.uint32))
+
+
+_sort2_jit = jax.jit(
+    lambda h, l: _consume2(*jax.lax.sort((h, l), num_keys=2, is_stable=False)))
+_sort1p_jit = jax.jit(
+    lambda h, l: _consume2(*jax.lax.sort((h, l), num_keys=1, is_stable=False)))
+_sort1_jit = jax.jit(
+    lambda h: jnp.max(jax.lax.sort((h,), num_keys=1, is_stable=False)[0]))
+
+CONFIGS = (
+    ("A_R130_P128", 130, 1 << 10, 128, 64),
+    ("B_R1040_P16", 1040, 1 << 7, 16, 64),
+) if SMALL else (
+    ("A_R130_P128", 130, 1 << 20, 128, 9216),
+    ("B_R1040_P16", 1040, 1 << 17, 16, 9216),
+)
+_part_jits = {name: make_partition_count(R, C, P, seg)
+              for name, R, C, P, seg in CONFIGS}
+
+
 def run_workload(tag, hi, lo16):
     print(f"=== workload: {tag} ===", flush=True)
     lo_full = (lo16.astype(jnp.uint32) << jnp.uint32(16))
 
     # production engine baseline (count_windows -> group_sort path)
-    base = jax.jit(partial(count_windows, k=K))
-    _, t = bench(f"{tag}/count_windows_prod",
-                 lambda h, l: count_windows(h, l, None, K), hi, lo_full,
-                 total=N)
-    ref = checksums_from_table(jax.tree_util.tree_map(np.asarray, t))
+    _, t = bench(f"{tag}/count_windows_prod", _prod_jit, hi, lo_full, total=N)
+    ref = tuple(int(np.asarray(x)) for x in t)
     print(f"{tag}/ref n_unique={ref[0]} total={ref[1]}", flush=True)
 
-    def consume2(a, b):
-        return jnp.maximum(jnp.max(a), b.max().astype(jnp.uint32))
+    bench(f"{tag}/sort2key_global", _sort2_jit, hi, lo16, total=N)
+    bench(f"{tag}/sort1key_pay_global", _sort1p_jit, hi, lo16, total=N)
+    bench(f"{tag}/sort1key_nopay_global", _sort1_jit, hi, total=N)
 
-    bench(f"{tag}/sort2key_global", jax.jit(
-        lambda h, l: consume2(*jax.lax.sort((h, l), num_keys=2,
-                                            is_stable=False))),
-        hi, lo16, total=N)
-    bench(f"{tag}/sort1key_pay_global", jax.jit(
-        lambda h, l: consume2(*jax.lax.sort((h, l), num_keys=1,
-                                            is_stable=False))),
-        hi, lo16, total=N)
-    bench(f"{tag}/sort1key_nopay_global", jax.jit(
-        lambda h: jnp.max(jax.lax.sort((h,), num_keys=1, is_stable=False)[0])),
-        hi, total=N)
-
-    for name, R, C, P, seg in (
-        ("A_R130_P128", 130, 1 << 20, 128, 9216),
-        ("B_R1040_P16", 1040, 1 << 17, 16, 9216),
-    ):
-        fn = make_partition_count(R, C, P, seg)
+    for name, R, C, P, seg in CONFIGS:
+        fn = _part_jits[name]
         tbest, out = bench(f"{tag}/partition_{name}", fn, hi, lo16, total=N)
         if out is not None:
             got = tuple(int(np.asarray(x)) for x in out)
@@ -225,8 +238,9 @@ run_workload("uniform", hi_u, lo_u)
 
 # monotone compaction gather: 40M sorted random positions out of N
 rngg = np.random.default_rng(3)
-midx = jnp.asarray(np.sort(rngg.choice(N, size=40 * 1024 * 1024,
-                                       replace=False)).astype(np.int32))
+midx = jnp.asarray(np.sort(rngg.choice(
+    N, size=N // 4 if SMALL else 40 * 1024 * 1024,
+    replace=False)).astype(np.int32))
 sync(midx)
 bench("uniform/monotone_gather_40M", jax.jit(
     lambda ix, x: jnp.max(x[ix])), midx, hi_u, total=40 * 1024 * 1024)
