@@ -19,7 +19,7 @@ sys.argv = ["sustained_r3.py", "--phase", "$phase", "--dir", "$DIR"]
 runpy.run_path("scripts/sustained_r3.py", run_name="__main__")
 PYEOF
   echo "=== phase $phase $(date +%T) ===" >> "$OUT"
-  bash scripts/tpu_run.sh "$L" "$OUT.$phase" 900 10
+  bash scripts/tpu_run.sh "$L" "$OUT.$phase" 2400 10
   rc=$?
   cat "$OUT.$phase" >> "$OUT"
   rm -f "$L"

@@ -66,6 +66,7 @@ def make_device_batches():
 
 
 def batch_stream(batches, lengths, n_steps, kill_after=None, times=None):
+    t0 = time.perf_counter()
     for i in range(n_steps):
         if kill_after is not None and i >= kill_after:
             print(f"KILLING at batch {i} (no graceful checkpoint)", flush=True)
@@ -73,6 +74,11 @@ def batch_stream(batches, lengths, n_steps, kill_after=None, times=None):
             os._exit(1)
         if times is not None:
             times.append(time.perf_counter())
+        if i and i % 10 == 0:
+            dt = time.perf_counter() - t0
+            print(f"step {i}/{n_steps} t+{dt:.0f}s "
+                  f"({i * WINDOWS_PER_BATCH / dt / 1e6:.0f}M kmers/s)",
+                  flush=True)
         yield batches[i % len(batches)], lengths
 
 
