@@ -126,7 +126,7 @@ def _cmd_count(args) -> int:
         from .streaming import count_read_stream
 
         result = count_read_stream(
-            _reads_file_batches(args.input, fmt, args.k),
+            _reads_file_batches(args.input, fmt, args.k, batch=args.batch),
             args.k, canonical=args.canonical, stats=stats,
         )
     elif args.from_dna_column:
@@ -394,6 +394,11 @@ def main(argv=None) -> int:
     c.add_argument("-k", type=int, default=8)
     c.add_argument("--canonical", action="store_true")
     c.add_argument("--top", type=int, default=0)
+    c.add_argument(
+        "--batch", type=int, default=32768,
+        help="reads per device step; larger batches mean fewer "
+        "accumulator merges (each merge re-sorts the accumulator)",
+    )
     c.add_argument("--save", default=None, help="save table snapshot (.npz)")
     c.add_argument(
         "--from-dna-column",
