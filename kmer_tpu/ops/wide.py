@@ -203,105 +203,124 @@ def _merge_unique_sources(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCoun
 
 
 def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts:
-    """One-sort fold of raw extraction windows into a wide accumulator.
+    """Fold raw extraction windows into a wide accumulator — the
+    single-device streaming hot path.
 
-    Replaces ``count_windows(batch)`` + ``merge_into_wide(acc, table)``
-    — a batch sort PLUS a merge sort — with a single combined sort:
-    windows enter the merge sort directly at unit weight (a step's
-    per-segment increment is bounded by the batch size, so the int32
-    positional segment count stays exact), and the accumulator
-    contributes at most one wide entry per key, which a trailing tag
-    sort key pins to its segment head (one neighbor-free pair-add — no
-    64-bit cumsum).  This is the single-device streaming hot path; the
-    multi-device path still needs the per-batch table for all_to_all
-    hash routing and keeps the two-step shape.
+    Measured composition (scripts/probe_step2.py, v5e, 68M windows into
+    a 4M-slot accumulator): count the batch with the production engine
+    (group sort + Pallas segment counts, 257ms), tag-compact the
+    sorted-run table down to ``acc.capacity`` slots (one narrowed sort,
+    350ms — dead slots fold to sentinel keys, which real keys cannot
+    equal below k=32), then merge two COMPACTED tables (2*cap rows,
+    67ms).  Both merge sources are per-key-deduplicated, so a segment
+    has at most two slots and totals are one neighbor pair-add — no
+    64-bit cumsum, no tag lane (addition commutes), and crucially none
+    of the weighted-``_segment_counts`` ``csum[end]`` gather that made
+    the naive fused one-sort fold 2.7s (XLA gathers run ~0.1G elt/s,
+    PERF.md §3/§5).
 
-    Sort-lane narrowing mirrors count_windows: the lo lane is dropped
-    when k makes it identically zero, rides as uint16 when only its top
-    half is used, and the length lane is only materialized for k == 32
-    (where a real all-t key is bitwise equal to the sentinel).
+    Sort lanes narrow by k: hi-only for k <= 15, (hi, lo16) for
+    k <= 23, (hi, lo) for k <= 31; k == 32 adds the length lane
+    (a real all-t 32-mer is bitwise equal to the sentinel).
+
+    ``n_unique`` is exact whenever it fits ``acc.capacity``; if the
+    batch table alone overflows capacity the surplus keys are dropped
+    and ``n_unique`` is a lower bound that still exceeds capacity, so
+    the caller's ``n_unique > capacity`` overflow check always fires.
     """
-    cap = acc.capacity
-    hi = jnp.asarray(hi, jnp.uint32).ravel()
-    lo = jnp.asarray(lo, jnp.uint32).ravel()
-    masked = valid is not None
-    if masked:
-        v = jnp.asarray(valid).ravel()
-        hi = jnp.where(v, hi, jnp.uint32(SENTINEL))
-        lo = jnp.where(v, lo, jnp.uint32(SENTINEL))
-    n_w = hi.shape[0]
-    tag = jnp.concatenate(
-        [jnp.zeros((cap,), jnp.uint8), jnp.ones((n_w,), jnp.uint8)]
-    )
-    wh = jnp.concatenate([acc.counts_hi, jnp.zeros((n_w,), jnp.int32)])
-    wl = jnp.concatenate([acc.counts_lo, jnp.zeros((n_w,), jnp.uint32)])
-    ah = jnp.concatenate([acc.hi, hi])
-    al = jnp.concatenate([acc.lo, lo])
+    from .count import count_windows
 
-    # Narrowing bounds differ from count_windows: dead accumulator slots
-    # mean sentinel keys are ALWAYS present here, so each tier must keep
-    # enough lanes to separate a real all-t key from the sentinel:
-    # k <= 15 leaves zero low bits in hi; k <= 23 leaves them in lo16;
-    # k <= 31 leaves them in lo; k == 32 needs the length lane.
+    cap = acc.capacity
+    table = count_windows(hi, lo, valid, k)
+    tcnt = jnp.asarray(table.counts, jnp.int32)
+    dead = tcnt <= 0
+    thi = jnp.where(dead, jnp.uint32(SENTINEL), jnp.asarray(table.hi, jnp.uint32))
+    tlo = jnp.where(dead, jnp.uint32(SENTINEL), jnp.asarray(table.lo, jnp.uint32))
+    n_live = jnp.sum((~dead).astype(jnp.int32))
+
     if k <= 15:
-        sh, stag, swh, swl = jax.lax.sort(
-            (ah, tag, wh, wl), num_keys=2, is_stable=False
+        # lo identically zero for real keys; hi has >= 2 zero low bits,
+        # so the all-ones sentinel is unreachable
+        (chi, ccnt) = jax.lax.sort((thi, tcnt), num_keys=1, is_stable=False)
+        chi, ccnt = chi[:cap], ccnt[:cap]
+        ah = jnp.concatenate([acc.hi, chi])
+        al16 = None
+        al = None
+        ops = (ah,)
+        nkeys = 1
+    elif k <= 23:
+        t16 = (tlo >> jnp.uint32(16)).astype(jnp.uint16)
+        chi, c16, ccnt = jax.lax.sort((thi, t16, tcnt), num_keys=2,
+                                      is_stable=False)
+        chi, c16, ccnt = chi[:cap], c16[:cap], ccnt[:cap]
+        ah = jnp.concatenate([acc.hi, chi])
+        al16 = jnp.concatenate(
+            [(acc.lo >> jnp.uint32(16)).astype(jnp.uint16), c16])
+        al = None
+        ops = (ah, al16)
+        nkeys = 2
+    elif k <= 31:
+        chi, clo, ccnt = jax.lax.sort((thi, tlo, tcnt), num_keys=2,
+                                      is_stable=False)
+        chi, clo, ccnt = chi[:cap], clo[:cap], ccnt[:cap]
+        ah = jnp.concatenate([acc.hi, chi])
+        al16 = None
+        al = jnp.concatenate([acc.lo, clo])
+        ops = (ah, al)
+        nkeys = 2
+    else:
+        tln = jnp.where(dead, jnp.int32(SENTINEL_LEN),
+                        jnp.asarray(table.length, jnp.int32))
+        chi, clo, cln, ccnt = jax.lax.sort((thi, tlo, tln, tcnt),
+                                           num_keys=3, is_stable=False)
+        chi, clo, cln, ccnt = chi[:cap], clo[:cap], cln[:cap], ccnt[:cap]
+        merged = _merge_unique_sources(
+            jnp.concatenate([acc.hi, chi]),
+            jnp.concatenate([acc.lo, clo]),
+            jnp.concatenate([acc.length, cln]),
+            jnp.concatenate([acc.counts_hi, jnp.zeros_like(ccnt)]),
+            jnp.concatenate([acc.counts_lo, ccnt.astype(jnp.uint32)]),
+            cap,
         )
-        sl = jnp.zeros_like(sh)
+        n_unique = jnp.maximum(jnp.asarray(merged.n_unique, jnp.int32), n_live)
+        return dataclasses.replace(merged, n_unique=n_unique)
+
+    wh = jnp.concatenate([acc.counts_hi, jnp.zeros_like(ccnt)])
+    wl = jnp.concatenate([acc.counts_lo, ccnt.astype(jnp.uint32)])
+    srt = jax.lax.sort(ops + (wh, wl), num_keys=nkeys, is_stable=False)
+    sh = srt[0]
+    swh, swl = srt[-2], srt[-1]
+    if nkeys == 1:
         new = jnp.concatenate([jnp.ones((1,), bool), sh[1:] != sh[:-1]])
         is_sent = sh == jnp.uint32(SENTINEL)
-    elif k <= 23:
-        lo16 = (al >> jnp.uint32(16)).astype(jnp.uint16)
-        sh, sl16, stag, swh, swl = jax.lax.sort(
-            (ah, lo16, tag, wh, wl), num_keys=3, is_stable=False
-        )
-        sl = sl16.astype(jnp.uint32) << jnp.uint32(16)
+        sl16 = None
+        sl = jnp.zeros_like(sh)
+    elif al16 is not None:
+        sl16 = srt[1]
         new = jnp.concatenate(
             [jnp.ones((1,), bool),
-             (sh[1:] != sh[:-1]) | (sl16[1:] != sl16[:-1])]
-        )
+             (sh[1:] != sh[:-1]) | (sl16[1:] != sl16[:-1])])
         is_sent = (sh == jnp.uint32(SENTINEL)) & (sl16 == jnp.uint16(0xFFFF))
-    elif k < 32:
-        sh, sl, stag, swh, swl = jax.lax.sort(
-            (ah, al, tag, wh, wl), num_keys=3, is_stable=False
-        )
+        sl = sl16.astype(jnp.uint32) << jnp.uint32(16)
+    else:
+        sl = srt[1]
+        sl16 = None
         new = jnp.concatenate(
             [jnp.ones((1,), bool),
-             (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])]
-        )
+             (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
         is_sent = (sh == jnp.uint32(SENTINEL)) & (sl == jnp.uint32(SENTINEL))
-    else:
-        # k == 32: a real all-t key is bitwise all-ones — only the
-        # length lane separates it from sentinels
-        wln = jnp.full((n_w,), k, jnp.int32)
-        if masked:
-            wln = jnp.where(v, wln, jnp.int32(SENTINEL_LEN))
-        aln = jnp.concatenate([acc.length, wln])
-        sh, sl, sln, stag, swh, swl = jax.lax.sort(
-            (ah, al, aln, tag, wh, wl), num_keys=4, is_stable=False
-        )
-        new = _boundaries(sh, sl, sln)
-        is_sent = sln == jnp.int32(SENTINEL_LEN)
+    # both sources deduplicated: a segment holds at most 2 slots, and
+    # addition commutes, so the head's total is one neighbor pair-add
+    nxt_same = jnp.concatenate([~new[1:], jnp.zeros((1,), bool)])
+    nwh = jnp.concatenate([swh[1:], jnp.zeros((1,), swh.dtype)])
+    nwl = jnp.concatenate([swl[1:], jnp.zeros((1,), swl.dtype)])
+    th, tl = _pair_add(swh, swl, jnp.where(nxt_same, nwh, 0),
+                       jnp.where(nxt_same, nwl, jnp.uint32(0)))
+    head = new & ~is_sent & ((th > 0) | (tl > 0))
 
-    ucnt = _segment_counts(new, stag.astype(jnp.int32))
-    at_acc_head = new & (stag == 0)
-    th, tl = _pair_add(
-        jnp.where(at_acc_head, swh, 0),
-        jnp.where(at_acc_head, swl, jnp.uint32(0)),
-        jnp.zeros_like(swh),
-        jnp.where(new, ucnt, 0).astype(jnp.uint32),
-    )
-    head = new & ~is_sent
-    if k == 32:
-        return _compact_fit(head, sh, sl, sln, th, tl, cap)
-
-    # narrowed compaction for k < 32: non-heads fold to all-sentinel
-    # keys, which real keys cannot equal (zero padding bits), so the
-    # dead slots sort last with no tag or length lane; lo rides as
-    # uint16 when k allows
     th = jnp.where(head, th, 0)
     tl = jnp.where(head, tl, jnp.uint32(0))
-    n_unique = jnp.sum(head.astype(jnp.int32))
+    n_unique = jnp.maximum(jnp.sum(head.astype(jnp.int32)), n_live)
     khi = jnp.where(head, sh, jnp.uint32(SENTINEL))
 
     def fit(x, fill):
@@ -309,23 +328,20 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
             return x[:cap]
         return jnp.concatenate([x, jnp.full((cap - x.shape[0],), fill, x.dtype)])
 
-    if k <= 15:
+    if nkeys == 1:
         khi, th, tl = jax.lax.sort((khi, th, tl), num_keys=1, is_stable=False)
         klo = jnp.zeros_like(khi)
         ksent = khi == jnp.uint32(SENTINEL)
-    elif k <= 23:
-        klo16 = jnp.where(head, (sl >> jnp.uint32(16)).astype(jnp.uint16),
-                          jnp.uint16(0xFFFF))
-        khi, klo16, th, tl = jax.lax.sort(
-            (khi, klo16, th, tl), num_keys=2, is_stable=False
-        )
-        klo = klo16.astype(jnp.uint32) << jnp.uint32(16)
-        ksent = (khi == jnp.uint32(SENTINEL)) & (klo16 == jnp.uint16(0xFFFF))
+    elif sl16 is not None:
+        kl16 = jnp.where(head, sl16, jnp.uint16(0xFFFF))
+        khi, kl16, th, tl = jax.lax.sort(
+            (khi, kl16, th, tl), num_keys=2, is_stable=False)
+        klo = kl16.astype(jnp.uint32) << jnp.uint32(16)
+        ksent = (khi == jnp.uint32(SENTINEL)) & (kl16 == jnp.uint16(0xFFFF))
     else:
         klo = jnp.where(head, sl, jnp.uint32(SENTINEL))
         khi, klo, th, tl = jax.lax.sort(
-            (khi, klo, th, tl), num_keys=2, is_stable=False
-        )
+            (khi, klo, th, tl), num_keys=2, is_stable=False)
         ksent = (khi == jnp.uint32(SENTINEL)) & (klo == jnp.uint32(SENTINEL))
     kln = jnp.where(ksent, jnp.int32(SENTINEL_LEN), jnp.int32(k))
     return WideCounts(
