@@ -106,29 +106,76 @@ def empty_sharded_acc(mesh, acc_capacity: int = 1 << 16) -> WideCounts:
 
 
 def save_wide(acc: WideCounts, path: str, meta: dict | None = None) -> None:
-    """Snapshot a (possibly sharded) wide accumulator to npz (atomic)."""
+    """Snapshot a (possibly sharded) wide accumulator to npz (atomic).
+
+    Only LIVE slots are stored (v2 format): each shard of a compacted
+    accumulator keeps its live entries at the front, so the snapshot is
+    per-shard ragged — concatenated live rows + per-shard live counts +
+    the shard capacity.  Checkpoint bytes scale with distinct keys, not
+    capacity (the sustained run's 84 MB full-capacity snapshots were
+    ~70% sentinels and dominated step overhead once the fold got fast).
+    Shard ownership (keys are hash-routed per device) survives because
+    reconstruction pads each shard back to capacity in place.
+    """
     from ..utils.checkpoint import atomic_savez
 
+    m = dict(meta or {})
+    n_parts = 1
+    if "mesh_shape" in m and m["mesh_shape"]:
+        n_parts = int(np.prod(m["mesh_shape"]))
+    hi = np.asarray(jax.device_get(acc.hi), np.uint32)
+    lo = np.asarray(jax.device_get(acc.lo), np.uint32)
+    length = np.asarray(jax.device_get(acc.length), np.int32)
+    ch = np.asarray(jax.device_get(acc.counts_hi), np.int32)
+    cl = np.asarray(jax.device_get(acc.counts_lo), np.uint32)
+    cap = hi.shape[0]
+    shard_cap = cap // n_parts
+    live = ((ch > 0) | (cl > 0)).reshape(n_parts, shard_cap)
+    keep = live.reshape(-1)
     atomic_savez(
         path,
-        hi=np.asarray(jax.device_get(acc.hi), np.uint32),
-        lo=np.asarray(jax.device_get(acc.lo), np.uint32),
-        length=np.asarray(jax.device_get(acc.length), np.int32),
-        counts_hi=np.asarray(jax.device_get(acc.counts_hi), np.int32),
-        counts_lo=np.asarray(jax.device_get(acc.counts_lo), np.uint32),
+        hi=hi[keep], lo=lo[keep], length=length[keep],
+        counts_hi=ch[keep], counts_lo=cl[keep],
+        live_per_shard=live.sum(axis=1).astype(np.int64),
+        shard_cap=np.int64(shard_cap),
         n_unique=np.int64(acc.n_unique),
-        meta=json.dumps({"version": _CKPT_VERSION, **(meta or {})}),
+        meta=json.dumps({"version": _CKPT_VERSION, **m}),
     )
 
 
 def load_wide(path: str) -> tuple[WideCounts, dict]:
+    from ..ops.count import SENTINEL, SENTINEL_LEN
+
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
-        acc = WideCounts(
-            hi=z["hi"], lo=z["lo"], length=z["length"],
-            counts_hi=z["counts_hi"], counts_lo=z["counts_lo"],
-            n_unique=np.int64(z["n_unique"]),
-        )
+        if "live_per_shard" in z.files:  # v2 compact format
+            lps = np.asarray(z["live_per_shard"], np.int64)
+            shard_cap = int(z["shard_cap"])
+            n_parts = lps.shape[0]
+            cap = n_parts * shard_cap
+
+            def expand(src, fill, dtype):
+                out = np.full((n_parts, shard_cap), fill, dtype)
+                s = 0
+                for p, n in enumerate(lps):
+                    out[p, : int(n)] = src[s : s + int(n)]
+                    s += int(n)
+                return out.reshape(-1)
+
+            acc = WideCounts(
+                hi=expand(z["hi"], SENTINEL, np.uint32),
+                lo=expand(z["lo"], SENTINEL, np.uint32),
+                length=expand(z["length"], SENTINEL_LEN, np.int32),
+                counts_hi=expand(z["counts_hi"], 0, np.int32),
+                counts_lo=expand(z["counts_lo"], 0, np.uint32),
+                n_unique=np.int64(z["n_unique"]),
+            )
+        else:  # v1: full-capacity arrays
+            acc = WideCounts(
+                hi=z["hi"], lo=z["lo"], length=z["length"],
+                counts_hi=z["counts_hi"], counts_lo=z["counts_lo"],
+                n_unique=np.int64(z["n_unique"]),
+            )
     return acc, meta
 
 
