@@ -94,27 +94,38 @@ class CountTable:
 
 
 def _segment_counts(new, weights=None):
-    """Per-segment totals at segment heads, positionally (scatter-free).
+    """Per-segment totals, positionally (scatter-free, gather-free).
 
     new: [n] bool, True at each segment head (new[0] must be True).
-    weights: optional [n] int32; None means unit weights.
-    Returns int32 [n]: segment total at heads, 0 elsewhere.
+    weights: optional [n] int32, all >= 0; None means unit weights.
+    Returns int32 [n]: each segment's total in exactly one of its slots
+    (unit weights: the head; weighted: the TAIL), 0 elsewhere — both
+    satisfy the CountTable sorted-run contract, which pins no slot.
+
+    The weighted form is cumsum + masked cummax only: the old
+    ``csum[end] - csum + w`` emitted an arbitrary-index gather, and XLA
+    gathers run ~0.1G elt/s on TPU (PERF.md §3) — measured 700ms of a
+    2.7s streaming fold before it was excised (PERF.md §6).  With
+    nonnegative weights the inclusive cumsum is nondecreasing, so "the
+    prefix sum at the previous segment's tail" is a running maximum of
+    tail-masked prefix sums — no data-dependent indexing.
     """
     n = new.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # next segment head strictly after i (n if none); lax.cummin is the
-    # native cumulative op (associative_scan compiles far worse on TPU)
-    b = jnp.where(new, pos, n)
-    sufmin = jax.lax.cummin(b, reverse=True)
-    nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
     if weights is None:
-        cnt = nxt - pos
-    else:
-        csum = jnp.cumsum(weights.astype(jnp.int32))
-        # sum over [i, nxt-1] inclusive = csum[nxt-1] - csum[i] + w[i]
-        end = jnp.clip(nxt - 1, 0, n - 1)
-        cnt = csum[end] - csum + weights
-    return jnp.where(new, cnt, 0).astype(jnp.int32)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        # next segment head strictly after i (n if none); lax.cummin is
+        # the native cumulative op (associative_scan compiles far worse)
+        b = jnp.where(new, pos, n)
+        sufmin = jax.lax.cummin(b, reverse=True)
+        nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
+        return jnp.where(new, nxt - pos, 0).astype(jnp.int32)
+    csum = jnp.cumsum(weights.astype(jnp.int32))
+    tail = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    tp = jnp.where(tail, csum, 0)
+    prev = jnp.concatenate(
+        [jnp.zeros((1,), tp.dtype), jax.lax.cummax(tp)[:-1]]
+    )
+    return jnp.where(tail, csum - prev, 0).astype(jnp.int32)
 
 
 def _boundaries(shi, slo, sln):
