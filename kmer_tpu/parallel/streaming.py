@@ -220,6 +220,7 @@ def stream_sharded_count(
     resumable: ResumableStream | None = None,
     ckpt_every: int = 16,
     stats: StatsCounters | None = None,
+    warmup: tuple | None = None,
 ) -> tuple[WideCounts, int]:
     """Stream (codes [B, L], lengths [B]) batches into a sharded count.
 
@@ -231,6 +232,19 @@ def stream_sharded_count(
     log = get_logger()
     mesh_shape = tuple(mesh.devices.shape)
     step = make_sharded_stream_step(mesh, k, canonical, acc_capacity, slack)
+
+    if warmup is not None:
+        # one throwaway step on a scratch accumulator compiles the jit
+        # (same instance, same shapes) OUTSIDE any caller timing — a
+        # long stream's sustained rate shouldn't charge the one-time
+        # ~35s compile to the loop (scripts/probe_step3.py)
+        wcodes, wlengths = warmup
+        wacc = empty_sharded_acc(mesh, acc_capacity)
+        wacc, _ = step(wacc, jnp.zeros((), jnp.int32),
+                       jnp.asarray(wcodes), jnp.asarray(wlengths))
+        jax.block_until_ready(wacc.counts_lo)
+        del wacc
+        log.info("stream step warmed up")
 
     start = 0
     overflow = jnp.zeros((), jnp.int32)
