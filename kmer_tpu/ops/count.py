@@ -102,13 +102,20 @@ def _segment_counts(new, weights=None):
     (unit weights: the head; weighted: the TAIL), 0 elsewhere — both
     satisfy the CountTable sorted-run contract, which pins no slot.
 
-    The weighted form is cumsum + masked cummax only: the old
-    ``csum[end] - csum + w`` emitted an arbitrary-index gather, and XLA
-    gathers run ~0.1G elt/s on TPU (PERF.md §3) — measured 700ms of a
-    2.7s streaming fold before it was excised (PERF.md §6).  With
-    nonnegative weights the inclusive cumsum is nondecreasing, so "the
-    prefix sum at the previous segment's tail" is a running maximum of
-    tail-masked prefix sums — no data-dependent indexing.
+    The weighted form is wrap-safe past 2^31 of *call-total* weight: the
+    prefix sum runs in uint32 (per-segment differences stay exact mod
+    2^32, so each segment total is exact whenever it fits the int32
+    output — the CountTable contract; totals beyond that need ops/wide).
+    "The prefix sum at the previous segment's tail" cannot ride a plain
+    cummax once the cumsum may wrap (it is no longer monotone), and an
+    explicit ``csum[prev_tail]`` lookup would be an arbitrary-index
+    gather — XLA gathers run ~0.1G elt/s on TPU (PERF.md §3; a gather
+    here was measured at 700ms of a 2.7s streaming fold, PERF.md §6).
+    Instead the csum value is *carried through the cummax itself*: eight
+    uint32 lanes each pack (tail position + 1) << 4 | one csum nibble,
+    positions dominate the comparison, so every running max selects the
+    latest preceding tail and its low bits deliver that tail's csum
+    nibble — O(n) passes, no data-dependent indexing, any weight total.
     """
     n = new.shape[0]
     if weights is None:
@@ -119,13 +126,29 @@ def _segment_counts(new, weights=None):
         sufmin = jax.lax.cummin(b, reverse=True)
         nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
         return jnp.where(new, nxt - pos, 0).astype(jnp.int32)
-    csum = jnp.cumsum(weights.astype(jnp.int32))
+    if n >= 1 << 28:
+        # (pos+1) << 4 must fit uint32; no engine path builds a single
+        # weighted GROUP BY this large (merges are 2*capacity sized) —
+        # split the input and merge_tables the halves instead
+        raise ValueError(
+            f"weighted segment counts support < 2^28 rows, got {n}; "
+            "split the input and merge the partial tables"
+        )
+    csum = jnp.cumsum(weights.astype(jnp.uint32))
     tail = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
-    tp = jnp.where(tail, csum, 0)
-    prev = jnp.concatenate(
-        [jnp.zeros((1,), tp.dtype), jax.lax.cummax(tp)[:-1]]
-    )
-    return jnp.where(tail, csum - prev, 0).astype(jnp.int32)
+    pos1 = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(1)) << jnp.uint32(4)
+    prev = jnp.zeros((n,), jnp.uint32)
+    for j in range(8):
+        nib = (csum >> jnp.uint32(4 * j)) & jnp.uint32(0xF)
+        key = jnp.where(tail, pos1 | nib, jnp.uint32(0))
+        run = jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), jax.lax.cummax(key)[:-1]]
+        )
+        prev = prev | ((run & jnp.uint32(0xF)) << jnp.uint32(4 * j))
+    # positions start at 1, so run == 0 in every lane iff no preceding
+    # tail exists — prev's assembled nibbles are then 0, which is the
+    # correct empty prefix; no extra mask needed
+    return jnp.where(tail, csum - prev, jnp.uint32(0)).astype(jnp.int32)
 
 
 def _boundaries(shi, slo, sln):

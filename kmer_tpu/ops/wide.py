@@ -202,6 +202,83 @@ def _merge_unique_sources(hi, lo, length, w_hi, w_lo, capacity: int) -> WideCoun
     return _compact_fit(head, shi, slo, sln, th, tl, capacity)
 
 
+# Blocked-compact tuning (see _narrow_to_cap): 32-row blocks, keep 8.
+# With live-head density p per row, a block violates when it holds > 8
+# live heads — P ~ Poisson(32p) tail; at the streaming steady state
+# (coverage genomes, p ~ 1-2%) that is ~1e-9 per block, while uniform
+# data (p ~ 1) routes to the full sort via the in-graph check.
+_COMPACT_BLOCK = 32
+_COMPACT_LMAX = 8
+_COMPACT_MIN_N = 1 << 22  # below this a full narrowing sort is sub-ms
+
+
+def _narrow_to_cap(keys: tuple, cnt, cap: int, nkeys: int) -> tuple:
+    """Compact a sorted-run batch table to live-first order, ``min(n, cap)``
+    rows.  ``keys`` are the sort lanes with dead slots already folded to
+    their all-ones sentinels; ``cnt`` holds each live group's total (>0)
+    and 0 at dead slots.  Returns (*keys, cnt) compacted.
+
+    Full path: one narrowing sort over all n rows — measured at 350ms of
+    the 668ms r3 streaming fold (PERF.md §6), i.e. a second sort of the
+    whole batch purely to move ~1.5%-dense live heads to the front.
+
+    Blocked path (high-duplication data, the streaming steady state):
+    sort each 32-row block along its own axis — batched row sorts run
+    ~an order of magnitude above the global sort's rate (PERF.md §5.1)
+    — then keep only each block's first 8 rows, which hold ALL its live
+    heads whenever no block has more than 8 (live heads on a coverage
+    genome are sparse in the sorted run), and run the narrowing sort on
+    that 4x-smaller candidate array.  A per-block live-count maximum is
+    checked in-graph and a lax.cond routes to the full sort when any
+    block exceeds the limit, so the result is exact on every input
+    distribution (uniform data simply always takes the full sort).
+    """
+    n = keys[0].shape[0]
+    target = min(n, cap)
+
+    def fit(x, fill):
+        if x.shape[0] >= target:
+            return x[:target]
+        return jnp.concatenate(
+            [x, jnp.full((target - x.shape[0],), fill, x.dtype)]
+        )
+
+    def key_fill(x):
+        return jnp.iinfo(x.dtype).max
+
+    def full_sort(ops):
+        ks, c = ops
+        srt = jax.lax.sort(ks + (c,), num_keys=nkeys, is_stable=False)
+        return tuple(fit(s, key_fill(s)) for s in srt[:-1]) + (fit(srt[-1], 0),)
+
+    if n < _COMPACT_MIN_N:
+        return full_sort((keys, cnt))
+
+    B, L = _COMPACT_BLOCK, _COMPACT_LMAX
+    pad = (-n) % B
+    if pad:
+        keys = tuple(
+            jnp.concatenate([x, jnp.full((pad,), key_fill(x), x.dtype)])
+            for x in keys
+        )
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad,), cnt.dtype)])
+    nb = (n + pad) // B
+    per_block = jnp.sum((cnt > 0).reshape(nb, B).astype(jnp.int32), axis=1)
+    ok = jnp.max(per_block) <= L
+
+    def blocked(ops):
+        ks, c = ops
+        rows = tuple(x.reshape(nb, B) for x in ks) + (c.reshape(nb, B),)
+        srt = jax.lax.sort(rows, dimension=1, num_keys=nkeys, is_stable=False)
+        cand = tuple(s[:, :L].reshape(-1) for s in srt)
+        srt2 = jax.lax.sort(cand, num_keys=nkeys, is_stable=False)
+        return tuple(fit(s, key_fill(s)) for s in srt2[:-1]) + (
+            fit(srt2[-1], 0),
+        )
+
+    return jax.lax.cond(ok, blocked, full_sort, (keys, cnt))
+
+
 def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts:
     """Fold raw extraction windows into a wide accumulator — the
     single-device streaming hot path.
@@ -241,8 +318,7 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
     if k <= 15:
         # lo identically zero for real keys; hi has >= 2 zero low bits,
         # so the all-ones sentinel is unreachable
-        (chi, ccnt) = jax.lax.sort((thi, tcnt), num_keys=1, is_stable=False)
-        chi, ccnt = chi[:cap], ccnt[:cap]
+        chi, ccnt = _narrow_to_cap((thi,), tcnt, cap, nkeys=1)
         ah = jnp.concatenate([acc.hi, chi])
         al16 = None
         al = None
@@ -250,9 +326,7 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
         nkeys = 1
     elif k <= 23:
         t16 = (tlo >> jnp.uint32(16)).astype(jnp.uint16)
-        chi, c16, ccnt = jax.lax.sort((thi, t16, tcnt), num_keys=2,
-                                      is_stable=False)
-        chi, c16, ccnt = chi[:cap], c16[:cap], ccnt[:cap]
+        chi, c16, ccnt = _narrow_to_cap((thi, t16), tcnt, cap, nkeys=2)
         ah = jnp.concatenate([acc.hi, chi])
         al16 = jnp.concatenate(
             [(acc.lo >> jnp.uint32(16)).astype(jnp.uint16), c16])
@@ -260,9 +334,7 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
         ops = (ah, al16)
         nkeys = 2
     elif k <= 31:
-        chi, clo, ccnt = jax.lax.sort((thi, tlo, tcnt), num_keys=2,
-                                      is_stable=False)
-        chi, clo, ccnt = chi[:cap], clo[:cap], ccnt[:cap]
+        chi, clo, ccnt = _narrow_to_cap((thi, tlo), tcnt, cap, nkeys=2)
         ah = jnp.concatenate([acc.hi, chi])
         al16 = None
         al = jnp.concatenate([acc.lo, clo])
@@ -271,9 +343,8 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
     else:
         tln = jnp.where(dead, jnp.int32(SENTINEL_LEN),
                         jnp.asarray(table.length, jnp.int32))
-        chi, clo, cln, ccnt = jax.lax.sort((thi, tlo, tln, tcnt),
-                                           num_keys=3, is_stable=False)
-        chi, clo, cln, ccnt = chi[:cap], clo[:cap], cln[:cap], ccnt[:cap]
+        chi, clo, cln, ccnt = _narrow_to_cap((thi, tlo, tln), tcnt, cap,
+                                             nkeys=3)
         merged = _merge_unique_sources(
             jnp.concatenate([acc.hi, chi]),
             jnp.concatenate([acc.lo, clo]),
@@ -330,14 +401,19 @@ def fold_windows_into_wide(acc: WideCounts, hi, lo, valid, k: int) -> WideCounts
 
     if nkeys == 1:
         khi, th, tl = jax.lax.sort((khi, th, tl), num_keys=1, is_stable=False)
-        klo = jnp.zeros_like(khi)
         ksent = khi == jnp.uint32(SENTINEL)
+        # dead slots must hold the documented all-SENTINEL pattern, not
+        # the tier's implicit zero lo
+        klo = jnp.where(ksent, jnp.uint32(SENTINEL), jnp.uint32(0))
     elif sl16 is not None:
         kl16 = jnp.where(head, sl16, jnp.uint16(0xFFFF))
         khi, kl16, th, tl = jax.lax.sort(
             (khi, kl16, th, tl), num_keys=2, is_stable=False)
-        klo = kl16.astype(jnp.uint32) << jnp.uint32(16)
         ksent = (khi == jnp.uint32(SENTINEL)) & (kl16 == jnp.uint16(0xFFFF))
+        klo = jnp.where(
+            ksent, jnp.uint32(SENTINEL),
+            kl16.astype(jnp.uint32) << jnp.uint32(16),
+        )
     else:
         klo = jnp.where(head, sl, jnp.uint32(SENTINEL))
         khi, klo, th, tl = jax.lax.sort(

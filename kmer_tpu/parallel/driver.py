@@ -222,6 +222,17 @@ def run_distcount(
         acc = empty_sharded_acc(mesh, acc_capacity)
 
     done = start_batch
+    from .streaming import AsyncCheckpointer
+
+    ckpt = (
+        AsyncCheckpointer(
+            lambda acc_, done_, ovf_: _save_rank(
+                acc_, rank_ckpt, done_, int(ovf_), mesh_shape
+            )
+        )
+        if rank_ckpt
+        else None
+    )
     for i, (codes, lengths) in enumerate(
         file_batches_fixed(input_path, fmt, k, batch, width)
     ):
@@ -236,9 +247,13 @@ def run_distcount(
                 int((ls > 0).sum()), int(ls.sum()),
                 int(np.maximum(ls - (k - 1), 0).sum()), 0,
             )
-        if rank_ckpt and done % ckpt_every == 0:
-            _save_rank(acc, rank_ckpt, done, int(overflow), mesh_shape)
-            log.info("rank %d checkpointed at batch %d", pid, done)
+        if ckpt is not None and done % ckpt_every == 0:
+            # overflow converts on the background thread (the device
+            # sync rides there too; see streaming.AsyncCheckpointer)
+            ckpt.submit(acc, done, overflow)
+            log.info("rank %d checkpoint %d submitted", pid, done)
+    if ckpt is not None:
+        ckpt.close()
     if done == start_batch and start_batch == 0:
         raise ValueError("empty batch stream")
     ovf = int(overflow)

@@ -95,6 +95,54 @@ class TestWeightsAndMerge:
         right = merge_tables(tables[0], merge_tables(tables[1], tables[2]))
         assert left.to_dict() == right.to_dict()
 
+    def test_weighted_totals_wrap_safe_past_2_31(self):
+        """ADVICE r3: a call whose TOTAL weight exceeds 2^31 must still
+        produce exact per-segment totals (each of which fits int32)."""
+        from kmer_tpu.ops.count import _segment_counts
+
+        new = jnp.asarray([True, False, True, True, False])
+        w = jnp.asarray(
+            [1_000_000_000, 1_000_000_000, 200_000_000, 50_000_000, 50_000_000],
+            jnp.int32,
+        )
+        got = np.asarray(_segment_counts(new, w))
+        assert got.tolist() == [0, 2_000_000_000, 200_000_000, 0, 100_000_000]
+
+    def test_weighted_segment_counts_vs_oracle(self):
+        from kmer_tpu.ops.count import _segment_counts
+
+        rng = np.random.default_rng(0)
+        for _ in range(40):
+            n = int(rng.integers(1, 50))
+            new = np.zeros(n, bool)
+            new[0] = True
+            new[rng.random(n) < 0.3] = True
+            w = rng.integers(0, 1 << 30, n).astype(np.int32)
+            got = np.asarray(_segment_counts(jnp.asarray(new), jnp.asarray(w)))
+            exp = np.zeros(n, np.int64)
+            seg = 0
+            for i in range(1, n + 1):
+                if i == n or new[i]:
+                    exp[i - 1] = w[seg:i].astype(np.int64).sum()
+                    seg = i
+            fits = exp < 2**31
+            assert np.array_equal(got[fits], exp[fits])
+
+    def test_weighted_rejects_2_28_rows(self):
+        """The packed-cummax carry needs (pos+1) << 4 to fit uint32;
+        eval_shape triggers the trace-time guard without allocating."""
+        import jax
+        import pytest
+
+        from kmer_tpu.ops.count import _segment_counts
+
+        with pytest.raises(ValueError, match="2\\^28"):
+            jax.eval_shape(
+                _segment_counts,
+                jax.ShapeDtypeStruct((1 << 28,), bool),
+                jax.ShapeDtypeStruct((1 << 28,), jnp.int32),
+            )
+
 
 class TestBatchedReads:
     def test_count_reads_vs_counter(self):

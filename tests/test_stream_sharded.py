@@ -111,3 +111,44 @@ class TestStreamShardedCount:
         )
         assert overflow == 0
         assert acc.to_dict() == _host_oracle(codes, lengths, K)
+
+
+class TestCheckpointFormat:
+    def test_v2_stamp_and_validation(self, tmp_path):
+        """ADVICE r3: compact snapshots stamp v2, and a version/layout
+        mismatch fails loudly at load, not at device_put."""
+        import json
+
+        from kmer_tpu.ops.wide import WideCounts
+        from kmer_tpu.parallel.streaming import load_wide, save_wide
+
+        acc = WideCounts.empty(8)
+        p = str(tmp_path / "acc.npz")
+        save_wide(acc, p, {"mesh_shape": [1, 1]})
+        with np.load(p, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            assert meta["version"] == 2
+            assert "live_per_shard" in z.files
+        back, _ = load_wide(p)
+        assert int(back.n_unique) == 0
+
+        # future-version file must be rejected
+        from kmer_tpu.utils.checkpoint import atomic_savez
+
+        bad = str(tmp_path / "future.npz")
+        atomic_savez(bad, hi=np.zeros(1, np.uint32), meta=json.dumps({"version": 99}))
+        with pytest.raises(ValueError, match="v99"):
+            load_wide(bad)
+
+        # a v2 stamp without the compact layout must be rejected
+        lying = str(tmp_path / "lying.npz")
+        atomic_savez(
+            lying,
+            hi=np.zeros(1, np.uint32), lo=np.zeros(1, np.uint32),
+            length=np.zeros(1, np.int32),
+            counts_hi=np.zeros(1, np.int32), counts_lo=np.zeros(1, np.uint32),
+            n_unique=np.int64(0),
+            meta=json.dumps({"version": 2}),
+        )
+        with pytest.raises(ValueError, match="live_per_shard"):
+            load_wide(lying)

@@ -327,3 +327,41 @@ class TestFoldWindows:
         oracle = self._oracle(WideCounts.empty(8), hi, lo, None, 21)
         assert int(got.n_unique) == int(oracle.n_unique)
         assert int(got.n_unique) > 8
+
+
+class TestDeadSlotInvariant:
+    def test_fold_dead_slots_all_sentinel(self):
+        """ADVICE r3: every fold tier must leave dead slots holding the
+        documented all-SENTINEL key pattern (WideCounts docstring), not
+        tier-specific residue (lo=0 at k<=15, lo=0xFFFF0000 at k<=23)."""
+        import jax.numpy as jnp
+
+        from kmer_tpu.ops.count import SENTINEL, SENTINEL_LEN
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        for k in (8, 15, 16, 21, 23, 24, 31, 32):
+            bits = 2 * k
+            hi = jnp.asarray([0x12345600 & ~0x3, 0x12345600 & ~0x3], jnp.uint32)
+            lo = jnp.asarray(
+                [(0xAAA80000 if bits > 32 else 0)] * 2, jnp.uint32
+            )
+            valid = jnp.asarray([True, True])
+            acc = fold_windows_into_wide(
+                __import__("kmer_tpu.ops.wide", fromlist=["WideCounts"])
+                .WideCounts.empty(16),
+                hi, lo, valid, k,
+            )
+            dead = np.asarray(acc.counts_hi) == 0
+            dead &= np.asarray(acc.counts_lo) == 0
+            assert dead.sum() >= 14
+            np.testing.assert_array_equal(
+                np.asarray(acc.hi)[dead], np.uint32(0xFFFFFFFF), err_msg=f"k={k}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(acc.lo)[dead], np.uint32(0xFFFFFFFF), err_msg=f"k={k}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(acc.length)[dead], np.int32(SENTINEL_LEN),
+                err_msg=f"k={k}",
+            )
+            assert int(SENTINEL) == 0xFFFFFFFF
