@@ -64,6 +64,11 @@ def _load():
         lib.kn_fasta_encode_mt.argtypes = mt_argtypes
         lib.kn_fastq_encode_mt.restype = ctypes.c_longlong
         lib.kn_fastq_encode_mt.argtypes = mt_argtypes
+        bnd_argtypes = [ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong]
+        lib.kn_fasta_boundary_at.restype = ctypes.c_longlong
+        lib.kn_fasta_boundary_at.argtypes = bnd_argtypes
+        lib.kn_fastq_boundary_at.restype = ctypes.c_longlong
+        lib.kn_fastq_boundary_at.argtypes = bnd_argtypes
         _lib = lib
     except Exception:
         _lib = None
@@ -133,6 +138,43 @@ def device_unpack_rows(words, length: int):
     idx = jnp.arange(length) // 16
     shifts = (30 - 2 * (jnp.arange(length) % 16)).astype(jnp.uint32)
     return ((words[:, idx] >> shifts[None, :]) & jnp.uint32(3)).astype(jnp.uint8)
+
+
+def record_boundary(data: bytes, pos: int, fmt: str) -> int:
+    """First validated record start at or after ``pos`` (len(data) if none).
+
+    FASTA: a '>' immediately following a newline.  FASTQ: an '@' line
+    whose line+2 starts '+' (quality lines opening with '@' fail this;
+    candidates whose validation line lies beyond the buffer are
+    rejected, so a truncated tail never yields a phantom boundary).
+    Native-backed with a pure-Python fallback.
+    """
+    n = len(data)
+    if pos <= 0:
+        return 0
+    if pos >= n:
+        return n
+    lib = _load()
+    if lib is not None:
+        fn = (lib.kn_fastq_boundary_at if fmt == "fastq"
+              else lib.kn_fasta_boundary_at)
+        return int(fn(data, n, pos))
+    if fmt == "fastq":
+        i = data.find(b"\n", pos - 1)
+        while i != -1:
+            line = i + 1
+            if line >= n:
+                return n
+            if data[line : line + 1] == b"@":
+                j = data.find(b"\n", line)
+                if j != -1:
+                    j = data.find(b"\n", j + 1)
+                if j != -1 and j + 1 < n and data[j + 1 : j + 2] == b"+":
+                    return line
+            i = data.find(b"\n", line)
+        return n
+    i = data.find(b"\n>", pos - 1)
+    return n if i == -1 else i + 1
 
 
 def _parse_threads() -> int:

@@ -108,6 +108,100 @@ def empty_sharded_acc(mesh, acc_capacity: int = 1 << 16) -> WideCounts:
     )
 
 
+class _StreamSnapshotter:
+    """Checkpoint snapshots whose device work is dispatched from the
+    MAIN loop thread (VERDICT r3 weak #2, measured in probe_r4b).
+
+    Two measured facts drive the design.  First, a background thread's
+    eager device ops race with the main loop's dispatch and land behind
+    the entire next checkpoint interval's steps — the thread then waits
+    out ~16 steps before its transfer even starts.  Dispatching the
+    live-slot slices on the main thread costs ~ms and orders them
+    immediately after the step being snapshotted.  Second, the slice
+    bound must be known WITHOUT a device sync (a sync would stall the
+    main loop on the dispatch backlog), so the snapshotter slices to an
+    adaptive guess grown from the previous checkpoint's observed live
+    counts: live counts only grow, the guess is rounded up 25%, and if
+    a burst of new keys ever exceeds it the writer thread falls back to
+    re-slicing at full fidelity (correct, just unordered — rare).
+    The first checkpoint pays one ~step-length sync to seed the guess.
+    """
+
+    def __init__(self, n_parts: int, shard_cap: int):
+        self.n_parts = n_parts
+        self.shard_cap = shard_cap
+        self._guess: int | None = None
+
+    def _round_up(self, mx: int) -> int:
+        return min(self.shard_cap, (mx + (mx >> 2) + 1024 + 1023) // 1024 * 1024)
+
+    def snapshot(self, acc: WideCounts) -> dict:
+        """Main-thread dispatch: returns device arrays, no host sync
+        (except once, at the first checkpoint, to seed the bound)."""
+        P, C = self.n_parts, self.shard_cap
+        live2 = ((acc.counts_hi > 0) | (acc.counts_lo > 0)).reshape(P, C)
+        lps_dev = jnp.sum(live2, axis=1, dtype=jnp.int32)
+        if self._guess is None:
+            lps = np.asarray(jax.device_get(lps_dev), np.int64)
+            self._guess = self._round_up(int(lps.max()) if lps.size else 0)
+        g = self._guess
+        return {"lps_dev": lps_dev, "packed": self._pack(acc, g),
+                "guess": g, "n_unique": acc.n_unique, "acc": acc}
+
+    def _pack(self, acc: WideCounts, g: int):
+        """All five lanes as ONE [P, 5, g] uint32 device array: a single
+        transfer RPC — the tunnel pays ~0.2s fixed cost per device_get,
+        so five separate 4 MB fetches ran at ~11 MB/s effective
+        (probe_r4b) while one 20 MB fetch rides nearer line rate."""
+        P, C = self.n_parts, self.shard_cap
+        u32 = jnp.uint32
+
+        def lane(x):
+            x = jnp.reshape(x, (P, C))[:, :g]
+            return jax.lax.bitcast_convert_type(x, u32)
+
+        return jnp.stack(
+            [lane(acc.hi), lane(acc.lo), lane(acc.length),
+             lane(acc.counts_hi), lane(acc.counts_lo)], axis=1
+        )
+
+    def write(self, snap: dict, path: str, meta: dict | None = None) -> None:
+        """Writer-thread side: transfer the pre-dispatched slices and
+        write a v2 npz (uncompressed — probe_r4b: zlib costs ~1s per
+        checkpoint to save 10 MB)."""
+        from ..utils.checkpoint import atomic_savez
+
+        C = self.shard_cap
+        lps = np.asarray(jax.device_get(snap["lps_dev"]), np.int64)
+        mx = int(lps.max()) if lps.size else 0
+        if mx > snap["guess"]:
+            # the guess was outgrown mid-interval: re-pack at the true
+            # bound (unordered dispatch; correctness unaffected)
+            packed = self._pack(snap["acc"], mx)
+        else:
+            packed = snap["packed"]
+        self._guess = self._round_up(mx)
+        host = np.asarray(jax.device_get(packed), np.uint32)[:, :, :mx]
+        keep = np.arange(mx, dtype=np.int64)[None, :] < lps[:, None]
+
+        def lane(i, dt):
+            return np.ascontiguousarray(host[:, i, :]).view(dt)[keep]
+
+        atomic_savez(
+            path,
+            hi=lane(0, np.uint32),
+            lo=lane(1, np.uint32),
+            length=lane(2, np.int32),
+            counts_hi=lane(3, np.int32),
+            counts_lo=lane(4, np.uint32),
+            live_per_shard=lps,
+            shard_cap=np.int64(C),
+            n_unique=np.int64(snap["n_unique"]),
+            meta=json.dumps({"version": _CKPT_VERSION, **(meta or {})}),
+            compress=False,
+        )
+
+
 def save_wide(acc: WideCounts, path: str, meta: dict | None = None) -> None:
     """Snapshot a (possibly sharded) wide accumulator to npz (atomic).
 
@@ -126,20 +220,53 @@ def save_wide(acc: WideCounts, path: str, meta: dict | None = None) -> None:
     n_parts = 1
     if "mesh_shape" in m and m["mesh_shape"]:
         n_parts = int(np.prod(m["mesh_shape"]))
-    hi = np.asarray(jax.device_get(acc.hi), np.uint32)
-    lo = np.asarray(jax.device_get(acc.lo), np.uint32)
-    length = np.asarray(jax.device_get(acc.length), np.int32)
-    ch = np.asarray(jax.device_get(acc.counts_hi), np.int32)
-    cl = np.asarray(jax.device_get(acc.counts_lo), np.uint32)
-    cap = hi.shape[0]
+    cap = int(acc.hi.shape[-1])
     shard_cap = cap // n_parts
-    live = ((ch > 0) | (cl > 0)).reshape(n_parts, shard_cap)
-    keep = live.reshape(-1)
+    if isinstance(acc.hi, jax.Array) and not isinstance(acc.hi, np.ndarray):
+        # Device-resident accumulator: compact ON DEVICE before the
+        # transfer.  Each shard keeps its live slots at the front
+        # (_compact_fit's invariant), so slicing every shard to the
+        # maximum per-shard live count moves only ~live bytes instead of
+        # the full capacity — on the r4 sustained run this cut each
+        # checkpoint's transfer from 84 MB to ~20 MB, and over this
+        # environment's ~36 MB/s tunnel the full-capacity device_get was
+        # most of the measured checkpoint stall.
+        live2 = ((acc.counts_hi > 0) | (acc.counts_lo > 0)).reshape(
+            n_parts, shard_cap
+        )
+        lps = np.asarray(
+            jax.device_get(jnp.sum(live2, axis=1, dtype=jnp.int32)), np.int64
+        )
+        mx = int(lps.max()) if lps.size else 0
+        keep = np.arange(mx, dtype=np.int64)[None, :] < lps[:, None]
+
+        def slab(x, dt):
+            sl = jnp.reshape(x, (n_parts, shard_cap))[:, :mx]
+            return np.asarray(jax.device_get(sl), dt)[keep]
+
+        hi = slab(acc.hi, np.uint32)
+        lo = slab(acc.lo, np.uint32)
+        length = slab(acc.length, np.int32)
+        ch = slab(acc.counts_hi, np.int32)
+        cl = slab(acc.counts_lo, np.uint32)
+        live_per_shard = lps
+    else:
+        hi = np.asarray(acc.hi, np.uint32)
+        lo = np.asarray(acc.lo, np.uint32)
+        length = np.asarray(acc.length, np.int32)
+        ch = np.asarray(acc.counts_hi, np.int32)
+        cl = np.asarray(acc.counts_lo, np.uint32)
+        live = ((ch > 0) | (cl > 0)).reshape(n_parts, shard_cap)
+        keep = live.reshape(-1)
+        hi, lo, length, ch, cl = (
+            hi[keep], lo[keep], length[keep], ch[keep], cl[keep]
+        )
+        live_per_shard = live.sum(axis=1).astype(np.int64)
     atomic_savez(
         path,
-        hi=hi[keep], lo=lo[keep], length=length[keep],
-        counts_hi=ch[keep], counts_lo=cl[keep],
-        live_per_shard=live.sum(axis=1).astype(np.int64),
+        hi=hi, lo=lo, length=length,
+        counts_hi=ch, counts_lo=cl,
+        live_per_shard=live_per_shard,
         shard_cap=np.int64(shard_cap),
         n_unique=np.int64(acc.n_unique),
         meta=json.dumps({"version": _CKPT_VERSION, **m}),
@@ -224,6 +351,7 @@ class AsyncCheckpointer:
         self._thread: object | None = None
         self._err: BaseException | None = None
         self.wait_s = 0.0  # total time the MAIN loop stalled on joins
+        self.last_write_s = 0.0  # duration of the last completed write
 
     def _join(self) -> None:
         import time as _time
@@ -241,8 +369,12 @@ class AsyncCheckpointer:
         self._join()
 
         def work():
+            import time as _time
+
+            t0 = _time.perf_counter()
             try:
                 self._write_fn(*args, **kwargs)
+                self.last_write_s = _time.perf_counter() - t0
             except BaseException as e:  # surfaced at the next join
                 self._err = e
 
@@ -269,6 +401,8 @@ class ResumableStream:
         self.batches_done = 0
         self.overflow = 0
         self.mesh_shape: tuple[int, int] | None = None
+        self.n_checkpoints = 0  # written by this process
+        self.ckpt_wait_s = 0.0  # main-loop stall on checkpoint joins
         if os.path.exists(path):
             self.acc, meta = load_wide(path)
             self.batches_done = int(meta.get("batches_done", 0))
@@ -283,6 +417,19 @@ class ResumableStream:
             "mesh_shape": list(mesh_shape),
         })
         self.batches_done = batches_done
+        self.n_checkpoints += 1
+
+    def checkpoint_snapshot(self, snapper: "_StreamSnapshotter", snap: dict,
+                            batches_done: int, overflow: int,
+                            mesh_shape: tuple[int, int]) -> None:
+        """Write a main-thread-dispatched snapshot (writer-thread side)."""
+        snapper.write(snap, self.path, {
+            "batches_done": batches_done,
+            "overflow": overflow,
+            "mesh_shape": list(mesh_shape),
+        })
+        self.batches_done = batches_done
+        self.n_checkpoints += 1
 
 
 def stream_sharded_count(
@@ -296,6 +443,7 @@ def stream_sharded_count(
     ckpt_every: int = 16,
     stats: StatsCounters | None = None,
     warmup: tuple | None = None,
+    ckpt_target_overhead: float | None = None,
 ) -> tuple[WideCounts, int]:
     """Stream (codes [B, L], lengths [B]) batches into a sharded count.
 
@@ -303,6 +451,14 @@ def stream_sharded_count(
     means some key ranges were clipped (raise acc_capacity/slack and
     re-run); exactness contract mirrors dist.count_kmers_sharded.
     All batches must share one [B, L] shape (static compile).
+
+    ``ckpt_target_overhead``: when set (e.g. 0.1), checkpoint cadence
+    adapts to the measured write time — a checkpoint opportunity (every
+    ``ckpt_every`` batches) is skipped while the time since the last
+    checkpoint is under ``last_write_time * (1/target - 1)``, bounding
+    checkpoint overhead near the target fraction regardless of how slow
+    the snapshot channel is.  None (default) checkpoints on every
+    opportunity (deterministic cadence for tests/short runs).
     """
     log = get_logger()
     mesh_shape = tuple(mesh.devices.shape)
@@ -345,12 +501,17 @@ def stream_sharded_count(
         acc = empty_sharded_acc(mesh, acc_capacity)
 
     done = 0
+    import time as _time_mod
 
-    def _write_ckpt(acc_, done_, ovf_, mesh_shape_):
+    last_ckpt_t = _time_mod.perf_counter()
+    snapper = _StreamSnapshotter(int(np.prod(mesh_shape)), acc_capacity)
+
+    def _write_ckpt(snap_, done_, ovf_, mesh_shape_):
         # int(ovf_) happens HERE, on the background thread: it is the
         # device sync that waits out the dispatch backlog, and moving it
         # off the main loop is most of the async win
-        resumable.checkpoint(acc_, done_, int(ovf_), mesh_shape_)
+        resumable.checkpoint_snapshot(snapper, snap_, done_, int(ovf_),
+                                      mesh_shape_)
 
     ckpt = AsyncCheckpointer(_write_ckpt) if resumable is not None else None
     for i, (codes, lengths) in enumerate(batches):
@@ -367,7 +528,17 @@ def stream_sharded_count(
             stats.record_batch(int((ls > 0).sum()), nb,
                                int(np.maximum(ls - (k - 1), 0).sum()), 0)
         if ckpt is not None and done % ckpt_every == 0:
-            ckpt.submit(acc, done, overflow, mesh_shape)
+            if ckpt_target_overhead is not None:
+                import time as _time
+
+                gap = ckpt.last_write_s * (1.0 / ckpt_target_overhead - 1.0)
+                if _time.perf_counter() - last_ckpt_t < gap:
+                    continue
+                last_ckpt_t = _time.perf_counter()
+            # snapshot slices dispatch on THIS thread so they are ordered
+            # directly after step `done`; the writer thread only moves
+            # bytes (see _StreamSnapshotter)
+            ckpt.submit(snapper.snapshot(acc), done, overflow, mesh_shape)
             log.info("checkpoint %d submitted", done)
     if done == 0 and start == 0:
         if ckpt is not None:
@@ -375,6 +546,7 @@ def stream_sharded_count(
         raise ValueError("empty batch stream")
     if ckpt is not None:
         ckpt.close()
+        resumable.ckpt_wait_s += ckpt.wait_s
         if done > resumable.batches_done:
             resumable.checkpoint(acc, done, int(overflow), mesh_shape)
     return acc, int(overflow)

@@ -21,8 +21,8 @@ from ..ops.count import CountTable
 _FORMAT_VERSION = 1
 
 
-def atomic_savez(path: str, **arrays) -> None:
-    """np.savez_compressed with crash-safe replace semantics.
+def atomic_savez(path: str, compress: bool = True, **arrays) -> None:
+    """np.savez[_compressed] with crash-safe replace semantics.
 
     Writing directly over an existing checkpoint would destroy it if
     the process dies mid-write — the exact event checkpoints exist to
@@ -31,6 +31,10 @@ def atomic_savez(path: str, **arrays) -> None:
     Without the fsyncs the rename can become durable before the data
     blocks, leaving a truncated file under the final name after power
     loss.
+
+    ``compress=False`` skips zlib: measured ~1s per 20 MB checkpoint on
+    the streaming path (scripts/probe_r4b.py) for a 2x size saving —
+    in-loop checkpoints choose speed, final tables choose size.
     """
     d = os.path.dirname(os.path.abspath(path)) or "."
     import tempfile
@@ -38,7 +42,7 @@ def atomic_savez(path: str, **arrays) -> None:
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez_compressed(f, **arrays)
+            (np.savez_compressed if compress else np.savez)(f, **arrays)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)

@@ -461,6 +461,24 @@ static long long kn_reads_encode_mt(const char *buf, long long n,
     return total;
 }
 
+/*
+ * Exported record-boundary scanners for chunked (out-of-core) ingest:
+ * return the byte offset of the first validated record start at or
+ * after pos (n if none).  Used by io/ingest.iter_record_chunks to cut
+ * bounded-memory file windows at exact record boundaries, so each
+ * window parses standalone and the chunked feed is byte-identical to
+ * the whole-file parse.
+ */
+long long kn_fasta_boundary_at(const char *buf, long long n, long long pos)
+{
+    return fasta_boundary(buf, n, pos);
+}
+
+long long kn_fastq_boundary_at(const char *buf, long long n, long long pos)
+{
+    return fastq_boundary(buf, n, pos);
+}
+
 long long kn_fasta_encode_mt(const char *buf, long long n, uint8_t *codes,
                              long long *offsets, long long max_reads,
                              int skip_invalid, int nthreads)

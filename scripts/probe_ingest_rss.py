@@ -1,0 +1,152 @@
+"""Out-of-core ingest probe (VERDICT r3 item #2 'Done' criterion).
+
+1. Writes a multi-GB synthetic FASTQ (larger than the RSS budget).
+2. Counts it with `python -m kmer_tpu count` under a bounded ingest
+   window in a CHILD process and asserts the child's peak RSS stayed
+   under the budget (ru_maxrss of the subprocess).
+3. On a smaller file that fits in RAM, verifies the chunked feed's
+   table is byte-identical to the in-memory path (one whole-file
+   window) and compares feed rates.
+
+Usage: python scripts/probe_ingest_rss.py [--gb 2.5] [--budget-mb 1500]
+"""
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+READ_LEN = 150
+
+
+def write_fastq(path: str, n_reads: int, seed: int = 0) -> int:
+    """Stream a synthetic FASTQ to disk in 64Mi-base blocks (the writer
+    itself must not slurp); reads sampled from one 5 Mbp genome."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, 5_000_000, dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    block = 200_000
+    written = 0
+    with open(path, "wb", buffering=1 << 22) as f:
+        r = 0
+        while r < n_reads:
+            b = min(block, n_reads - r)
+            starts = rng.integers(0, genome.size - READ_LEN + 1, b)
+            reads = lut[genome[starts[:, None] + np.arange(READ_LEN)[None, :]]]
+            qual = np.full((b, READ_LEN), ord("I"), np.uint8)
+            for i in range(b):
+                f.write(b"@r%d\n" % (r + i))
+                f.write(reads[i].tobytes())
+                f.write(b"\n+\n")
+                f.write(qual[i].tobytes())
+                f.write(b"\n")
+            r += b
+            written += b * (READ_LEN * 2 + 4 + 12)
+    return os.path.getsize(path)
+
+
+def count_subprocess(path: str, chunk_mb: int, k: int = 21,
+                     device: str = "tpu") -> tuple[dict, float, float]:
+    """Run `kmer_tpu count` in a child; return (stderr summary line,
+    wall seconds, peak RSS GiB)."""
+    env = dict(os.environ)
+    if device == "cpu":
+        env["KMER_TPU_FORCE_CPU"] = "1"
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "kmer_tpu", "count", "--input", path,
+         "-k", str(k), "--canonical", "--batch", "262144",
+         "--chunk-mb", str(chunk_mb), "--top", "3"],
+        capture_output=True, text=True, env=env, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    wall = time.perf_counter() - t0
+    # ru_maxrss (KB on Linux) over children = the count child's peak;
+    # this parent spawns no other subprocess
+    peak_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = [l for l in proc.stderr.splitlines() if "distinct" in l][-1]
+    return {"summary": summary.strip()}, wall, peak_gb
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gb", type=float, default=2.5)
+    ap.add_argument("--budget-mb", type=int, default=1500)
+    ap.add_argument("--dir", default="/tmp/ingest_rss")
+    ap.add_argument("--skip-big", action="store_true")
+    a = ap.parse_args()
+    os.makedirs(a.dir, exist_ok=True)
+    out = {}
+
+    # -- small-file byte-identical parity + feed rate -------------------
+    small = os.path.join(a.dir, "small.fastq")
+    if not os.path.exists(small):
+        write_fastq(small, 1_000_000, seed=7)
+    sz = os.path.getsize(small)
+    import jax
+
+    from kmer_tpu.cli import _reads_file_batches
+    from kmer_tpu.streaming import count_read_stream
+
+    def run_feed(chunk_bytes):
+        t0 = time.perf_counter()
+        table = count_read_stream(
+            _reads_file_batches(small, "fastq", 21, batch=262144,
+                                chunk_bytes=chunk_bytes),
+            21, canonical=True, capacity=1 << 21,
+        )
+        jax.block_until_ready(table.counts_lo)
+        return table, time.perf_counter() - t0
+
+    print(f"claim ok: {float(jax.numpy.ones(2).sum())}", flush=True)
+    mem_table, mem_s = run_feed(1 << 40)   # whole file in one window
+    chk_table, chk_s = run_feed(64 << 20)  # 64 MiB windows
+    mt, ct = mem_table.trim(), chk_table.trim()
+    assert np.array_equal(np.asarray(mt.hi), np.asarray(ct.hi))
+    assert np.array_equal(np.asarray(mt.lo), np.asarray(ct.lo))
+    assert np.array_equal(mt.counts64(), ct.counts64())
+    out["small_file_gb"] = round(sz / 1e9, 3)
+    out["in_memory_s"] = round(mem_s, 2)
+    out["chunked_s"] = round(chk_s, 2)
+    out["chunked_vs_memory_rate"] = round(mem_s / chk_s, 3)
+    out["byte_identical"] = True
+    print(json.dumps(out), flush=True)
+    assert chk_s <= mem_s / 0.8 + 2.0, "chunked feed slower than 0.8x in-memory"
+
+    # -- big-file bounded-RSS count -------------------------------------
+    if not a.skip_big:
+        big = os.path.join(a.dir, "big.fastq")
+        n_reads = int(a.gb * 1e9 / (READ_LEN * 2 + 16))
+        if not os.path.exists(big):
+            t0 = time.perf_counter()
+            bsz = write_fastq(big, n_reads, seed=8)
+            print(f"wrote {bsz/1e9:.2f} GB fastq in "
+                  f"{time.perf_counter()-t0:.0f}s", flush=True)
+        info, wall, peak_gb = count_subprocess(big, chunk_mb=256)
+        bsz = os.path.getsize(big)
+        out2 = {
+            "big_file_gb": round(bsz / 1e9, 3),
+            "count_wall_s": round(wall, 1),
+            "feed_gb_per_s": round(bsz / 1e9 / wall, 3),
+            "child_peak_rss_gb": round(peak_gb, 2),
+            "rss_budget_gb": round(a.budget_mb / 1000, 2),
+            "summary": info["summary"],
+        }
+        print(json.dumps(out2), flush=True)
+        assert peak_gb * 1000 < a.budget_mb, (
+            f"peak RSS {peak_gb:.2f} GB exceeded budget {a.budget_mb} MB")
+        out.update(out2)
+    with open("/tmp/ingest_rss.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("probe_ingest_rss OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -281,3 +281,106 @@ class TestIngestHygiene:
         assert c1 is c2  # one upload, reused across scans
         t.scan_eq("ac")
         assert t._jcol() is c1
+
+
+class TestMutation:
+    """Mirrors /root/reference/kmer-test.sql:11-36: INSERT (including the
+    two failing statements), DELETE WHERE dna = x, search without and
+    with an index returning identical rows."""
+
+    def _fresh(self):
+        return KmerTable.from_rows([
+            ("AGCTAGCTAGCTAGCT", "AGCTAGCT", "AGCTAGCT"),
+            ("CGTACGTACGTA", "CGTACGTA", "CGTACGTA"),
+            ("TTTTTTTTTTTTTTTT", "TTTTTTTT", "TTTTTTTT"),
+            ("AGTAGC", "AGTAGC", "AGTAGC"),
+        ])
+
+    def test_reference_insert_delete_search_flow(self):
+        from kmer_tpu.errors import InvalidDnaSequenceError, KmerTooLongError
+
+        t = self._fresh()
+        assert len(t) == 4
+
+        # INSERT with wrong values: too-long kmer (35 chars) aborts the
+        # whole statement...
+        with pytest.raises(KmerTooLongError):
+            t.insert_rows([
+                ("AGCTAGCTAGCTAGCTAGCTAGCTAGCTAGCTAGCT",
+                 "AGCTAGCTAGCTAGCTAGCTAGCTAGCTAGCTAGC",
+                 "AGCTAGCTAGCTAGCTAGCTAGCTAGCTAGCTAGC"),
+            ])
+        # ...and invalid character in kmer aborts too
+        with pytest.raises(InvalidDnaSequenceError):
+            t.insert_rows([("GATTACA", "GATTACAX", "GATTACAX")])
+        assert len(t) == 4  # nothing inserted by failing statements
+
+        # DELETE WHERE dna_sequence = 'CGTACGTACGTA'
+        assert t.delete_where_dna_eq("CGTACGTACGTA") == 1
+        assert len(t) == 3
+
+        # SEARCH without index
+        no_index = set(t.where_eq("AGCTAGCT"))
+        assert no_index == {0}
+
+        # CREATE INDEX; SEARCH with index gives the same rows
+        t.create_index()
+        assert set(t.where_eq("AGCTAGCT")) == no_index
+
+    def test_insert_after_index_is_visible(self):
+        t = self._fresh()
+        t.create_index()
+        t.insert_rows([("ACGT", "AGCTAGCT", "ACGT")])
+        assert set(t.where_eq("AGCTAGCT")) == {0, 4}
+        assert set(t.scan_eq("AGCTAGCT")) == {0, 4}
+        assert t.count() == 5
+        assert t.group_by_kmer().to_dict()["agctagct"] == 2
+
+    def test_delete_excluded_everywhere(self):
+        t = self._fresh()
+        t.create_index()
+        t.delete_where_kmer_eq("TTTTTTTT")
+        assert set(t.where_eq("TTTTTTTT")) == set()
+        assert set(t.scan_eq("TTTTTTTT")) == set()
+        assert t.count() == 3
+        assert "tttttttt" not in t.group_by_kmer().to_dict()
+        assert t.group_by_kmer().total() == 3
+
+    def test_interleaved_equivalence_property(self):
+        """scan == index across a random interleaving of insert/delete/
+        query — the TEST 14 property held continuously."""
+        rng = np.random.default_rng(5)
+        from kmer_tpu.io import generate_test_rows
+
+        t = KmerTable.from_rows(generate_test_rows(200, seed=9))
+        t.create_index()
+        bases = "acgt"
+        live_check_queries = ["a", "ac", "acga", "tttt", ""]
+        for step in range(30):
+            op = rng.integers(0, 3)
+            if op == 0:
+                kmer = "".join(rng.choice(list(bases),
+                                          rng.integers(1, 9)))
+                t.insert_rows([("acgt", kmer, "nn")])
+            elif op == 1 and len(t):
+                ids = t.where_prefix("")  # all live rows
+                if len(ids):
+                    t.delete_ids([int(rng.choice(ids))])
+            q = live_check_queries[step % len(live_check_queries)]
+            assert set(t.where_eq(q)) == set(t.scan_eq(q)), step
+            assert set(t.where_prefix(q)) == set(t.scan_prefix(q)), step
+        assert t.group_by_kmer().total() == t.count()
+
+    def test_vacuum_compacts_and_reindexes(self):
+        t = self._fresh()
+        t.create_index()
+        t.delete_where_dna_eq("CGTACGTACGTA")
+        t.vacuum()
+        assert t.n_slots == 3 == len(t)
+        assert set(t.where_eq("AGCTAGCT")) == set(t.scan_eq("AGCTAGCT"))
+
+    def test_rows_decodes_only_hits(self):
+        t = self._fresh()
+        got = t.rows(np.asarray([2]))
+        assert got == [("tttttttttttttttt", "tttttttt", "tttttttt")]
+        assert t.rows(np.asarray([], np.int64)) == []
