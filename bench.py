@@ -34,7 +34,7 @@ def main() -> int:
         fn = run_bench_stream if mode == "stream" else run_bench
         result = fn(n_reads=n_reads, read_len=150, k=21, canonical=True)
     detail = result.pop("detail", {})
-    # surface the sustained configs[3]-scale run (scripts/sustained_r3.py,
+    # surface the sustained configs[3]-scale run (scripts/sustained_r4.py,
     # run separately on hardware: >=1e10 k-mers streamed + kill/resume)
     sus_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "SUSTAINED.json")

@@ -181,6 +181,8 @@ def _cmd_count(args) -> int:
                 chunk_bytes=args.chunk_mb << 20 if args.chunk_mb else None,
             ),
             args.k, canonical=args.canonical, stats=stats,
+            max_capacity=args.max_slots or None,
+            spill_dir=args.spill_dir,
         )
     elif args.from_dna_column:
         from .streaming import count_read_stream
@@ -479,6 +481,17 @@ def main(argv=None) -> int:
         "--chunk-mb", type=int, default=0, metavar="MB",
         help="ingest window size in MiB (default 256); files stream "
         "through record-aligned windows, never fully in RAM",
+    )
+    c.add_argument(
+        "--max-slots", type=int, default=0, metavar="N",
+        help="device accumulator budget in slots; beyond it live slots "
+        "spill to host sorted runs and the result is their exact K-way "
+        "merge (0 = grow on device without bound)",
+    )
+    c.add_argument(
+        "--spill-dir", default=None, metavar="DIR",
+        help="write spill runs to DIR as npz instead of holding them "
+        "in host RAM",
     )
     c.add_argument(
         "--from-dna-column",

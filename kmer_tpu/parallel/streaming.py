@@ -131,6 +131,11 @@ class _StreamSnapshotter:
         self.n_parts = n_parts
         self.shard_cap = shard_cap
         self._guess: int | None = None
+        # true per-checkpoint cost (transfer + host work + file write),
+        # EXCLUDING the wait for the device to reach the snapshotted
+        # step — that wait overlaps useful compute and must not inflate
+        # the adaptive cadence's gap
+        self.last_cost_s = 0.0
 
     def _round_up(self, mx: int) -> int:
         return min(self.shard_cap, (mx + (mx >> 2) + 1024 + 1023) // 1024 * 1024)
@@ -169,10 +174,15 @@ class _StreamSnapshotter:
         """Writer-thread side: transfer the pre-dispatched slices and
         write a v2 npz (uncompressed — probe_r4b: zlib costs ~1s per
         checkpoint to save 10 MB)."""
-        from ..utils.checkpoint import atomic_savez
+        import time as _time
 
+        from ..utils.checkpoint import atomic_savez
+        from ..utils.logging import get_logger
+
+        t0 = _time.perf_counter()
         C = self.shard_cap
         lps = np.asarray(jax.device_get(snap["lps_dev"]), np.int64)
+        t1 = _time.perf_counter()
         mx = int(lps.max()) if lps.size else 0
         if mx > snap["guess"]:
             # the guess was outgrown mid-interval: re-pack at the true
@@ -182,6 +192,7 @@ class _StreamSnapshotter:
             packed = snap["packed"]
         self._guess = self._round_up(mx)
         host = np.asarray(jax.device_get(packed), np.uint32)[:, :, :mx]
+        t2 = _time.perf_counter()
         keep = np.arange(mx, dtype=np.int64)[None, :] < lps[:, None]
 
         def lane(i, dt):
@@ -199,6 +210,13 @@ class _StreamSnapshotter:
             n_unique=np.int64(snap["n_unique"]),
             meta=json.dumps({"version": _CKPT_VERSION, **(meta or {})}),
             compress=False,
+        )
+        t3 = _time.perf_counter()
+        self.last_cost_s = t3 - t1
+        get_logger().info(
+            "ckpt write: lps_wait %.2fs, transfer %.2fs (%.1f MB), "
+            "write %.2fs",
+            t1 - t0, t2 - t1, host.nbytes / 1e6, t3 - t2,
         )
 
 
@@ -463,6 +481,7 @@ def stream_sharded_count(
     log = get_logger()
     mesh_shape = tuple(mesh.devices.shape)
     step = make_sharded_stream_step(mesh, k, canonical, acc_capacity, slack)
+    snapper = _StreamSnapshotter(int(np.prod(mesh_shape)), acc_capacity)
 
     if warmup is not None:
         # one throwaway step on a scratch accumulator compiles the jit
@@ -471,9 +490,32 @@ def stream_sharded_count(
         # ~35s compile to the loop (scripts/probe_step3.py)
         wcodes, wlengths = warmup
         wacc = empty_sharded_acc(mesh, acc_capacity)
-        wacc, _ = step(wacc, jnp.zeros((), jnp.int32),
-                       jnp.asarray(wcodes), jnp.asarray(wlengths))
+        wacc, wovf = step(wacc, jnp.zeros((), jnp.int32),
+                          jnp.asarray(wcodes), jnp.asarray(wlengths))
+        # second warmup step feeds the FIRST step's outputs back in:
+        # their overflow scalar is now committed/replicated-sharded,
+        # which is a different jit cache entry than the fresh uncommitted
+        # zeros — without this, step 2 of every timed stream pays the
+        # ~36s recompile in-loop (measured: every sustained run ran
+        # exactly one compile-time slower than the probe loop)
+        wacc, wovf = step(wacc, wovf, jnp.asarray(wcodes),
+                          jnp.asarray(wlengths))
         jax.block_until_ready(wacc.counts_lo)
+        if resumable is not None:
+            # warm the snapshotter too: its eager pack/slice ops remote-
+            # compile (~seconds each, once) and its first snapshot seeds
+            # the live-bound guess with a device sync — all of which
+            # belongs here, not inside the timed loop's first checkpoint
+            import time as _t
+
+            wpath = resumable.path + ".warmup"
+            t0 = _t.perf_counter()
+            try:
+                snapper.write(snapper.snapshot(wacc), wpath, {})
+            finally:
+                if os.path.exists(wpath):
+                    os.remove(wpath)
+            warm_write_s = _t.perf_counter() - t0
         del wacc
         log.info("stream step warmed up")
 
@@ -503,8 +545,10 @@ def stream_sharded_count(
     done = 0
     import time as _time_mod
 
-    last_ckpt_t = _time_mod.perf_counter()
-    snapper = _StreamSnapshotter(int(np.prod(mesh_shape)), acc_capacity)
+    # -inf: the FIRST checkpoint opportunity always fires — early
+    # durability must not depend on the adaptive gap (a run killed
+    # before its first checkpoint restarts from zero)
+    last_ckpt_t = float("-inf")
 
     def _write_ckpt(snap_, done_, ovf_, mesh_shape_):
         # int(ovf_) happens HERE, on the background thread: it is the
@@ -514,12 +558,35 @@ def stream_sharded_count(
                                       mesh_shape_)
 
     ckpt = AsyncCheckpointer(_write_ckpt) if resumable is not None else None
+    if ckpt is not None and warmup is not None:
+        # seed the adaptive cadence with the warmup write's measured
+        # duration — otherwise the first checkpoints fire back-to-back
+        # (no write time known yet) and each join stalls the loop for a
+        # full in-flight write
+        ckpt.last_write_s = warm_write_s
+    from collections import deque
+
+    loop_t0 = _time_mod.perf_counter()
+    inflight: deque = deque()  # (step, overflow scalar) dispatch window
     for i, (codes, lengths) in enumerate(batches):
         if i < start:
             continue
         acc, overflow = step(acc, overflow, jnp.asarray(codes),
                              jnp.asarray(lengths))
         done = i + 1
+        inflight.append(overflow)
+        # bound dispatch runahead to ~32 steps so the loop's wall clock
+        # tracks device progress (keeps the adaptive checkpoint cadence
+        # meaningful and the dispatch queue finite).  Pace with
+        # non-blocking is_ready + short host sleeps: block_until_ready
+        # on a not-yet-ready array has multi-second polling overshoot
+        # over the remote tunnel (measured: per-step blocking slowed
+        # 0.42s steps to 0.63s), while is_ready is a cheap query
+        while len(inflight) > 32:
+            if inflight[0].is_ready():
+                inflight.popleft()
+            else:
+                _time_mod.sleep(0.05)
         if stats is not None:
             ls = np.asarray(lengths, np.int64)
             nb = int(ls.sum())
@@ -527,11 +594,15 @@ def stream_sharded_count(
             # (batches_of tail) contribute no reads and no windows
             stats.record_batch(int((ls > 0).sum()), nb,
                                int(np.maximum(ls - (k - 1), 0).sum()), 0)
+        if done % 16 == 0:
+            log.debug("pace: %d steps dispatched, t+%.1fs",
+                      done - start, _time_mod.perf_counter() - loop_t0)
         if ckpt is not None and done % ckpt_every == 0:
             if ckpt_target_overhead is not None:
                 import time as _time
 
-                gap = ckpt.last_write_s * (1.0 / ckpt_target_overhead - 1.0)
+                cost = snapper.last_cost_s or ckpt.last_write_s
+                gap = cost * (1.0 / ckpt_target_overhead - 1.0)
                 if _time.perf_counter() - last_ckpt_t < gap:
                     continue
                 last_ckpt_t = _time.perf_counter()
@@ -545,10 +616,16 @@ def stream_sharded_count(
             ckpt.close()
         raise ValueError("empty batch stream")
     if ckpt is not None:
+        t_close = _time_mod.perf_counter()
         ckpt.close()
         resumable.ckpt_wait_s += ckpt.wait_s
+        t_final = _time_mod.perf_counter()
         if done > resumable.batches_done:
-            resumable.checkpoint(acc, done, int(overflow), mesh_shape)
+            # final checkpoint through the fast packed writer, not the
+            # 5-transfer compressed save_wide path
+            _write_ckpt(snapper.snapshot(acc), done, overflow, mesh_shape)
+        log.info("tail: close %.1fs, final ckpt %.1fs",
+                 t_final - t_close, _time_mod.perf_counter() - t_final)
     return acc, int(overflow)
 
 

@@ -138,6 +138,8 @@ def count_read_stream(
     canonical: bool = False,
     stats: StatsCounters | None = None,
     capacity: int = 1 << 16,
+    max_capacity: int | None = None,
+    spill_dir: str | None = None,
 ):
     """Exact count over an iterator of (codes [B, L], lengths [B]) batches.
 
@@ -147,11 +149,18 @@ def count_read_stream(
     given (capacity, batch-shape) reuses one compiled program — the r2
     growing-CountTable path recompiled AND re-sorted the whole
     accumulator every batch.  Returns a WideCounts.
+
+    ``max_capacity`` bounds the device accumulator: beyond it, live
+    slots spill to host (or ``spill_dir``) as sorted runs and the
+    result is their exact K-way merge — distinct-key cardinality is
+    then bounded by host RAM/disk, not HBM (the reference inherits
+    hash-agg spill from Postgres; SURVEY §1 L0).
     """
     from .ops.wide import WideAccumulator
 
     step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
-    acc = WideAccumulator(capacity)
+    acc = WideAccumulator(capacity, max_capacity=max_capacity,
+                          spill_dir=spill_dir)
     for codes, lengths in read_batches:
         acc.add(step(jnp.asarray(codes), jnp.asarray(lengths)))
         if stats is not None:

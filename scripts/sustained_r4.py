@@ -201,7 +201,9 @@ if __name__ == "__main__":
     ap.add_argument("--phase", choices=["straight", "kill", "resume"],
                     required=True)
     ap.add_argument("--steps", type=int, default=151)  # >=1e10 kmers
-    ap.add_argument("--kill-after", type=int, default=40)
+    # past the first dispatch-runahead sync (step 40 -> device >= 24),
+    # so the step-16 checkpoint's write has landed before the kill
+    ap.add_argument("--kill-after", type=int, default=56)
     ap.add_argument("--dir", default="/tmp/sustained_r4")
     ap.add_argument("--batch-reads", type=int, default=None,
                     help="override for CPU smoke tests")

@@ -6,6 +6,7 @@ stay exact.  The oracle is host-side numpy int64.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kmer_tpu.ops.count import count_column, count_packed
 from kmer_tpu.ops.wide import (
@@ -365,3 +366,109 @@ class TestDeadSlotInvariant:
                 err_msg=f"k={k}",
             )
             assert int(SENTINEL) == 0xFFFFFFFF
+
+
+class TestSpillMerge:
+    """VERDICT r3 missing #3: distinct keys beyond the device budget
+    spill to host sorted runs and finish with an exact K-way merge."""
+
+    def _stream_batches(self, rng, n_batches, reads, length):
+        for _ in range(n_batches):
+            yield (rng.integers(0, 4, (reads, length), dtype=np.uint8),
+                   np.full(reads, length, np.int32))
+
+    def _oracle(self, batches, k):
+        from collections import Counter
+
+        c = Counter()
+        bases = "acgt"
+        for codes, lens in batches:
+            for row, ln in zip(codes, lens):
+                s = "".join(bases[b] for b in row[:ln])
+                for i in range(ln - k + 1):
+                    c[s[i : i + k]] += 1
+        return dict(c)
+
+    def test_spill_exceeding_capacity_exact(self, tmp_path):
+        from kmer_tpu.streaming import count_read_stream
+
+        rng = np.random.default_rng(0)
+        batches = list(self._stream_batches(rng, 6, 64, 40))
+        want = self._oracle(batches, 9)
+        assert len(want) > 2048  # the budget is genuinely exceeded
+        got = count_read_stream(
+            iter(batches), 9, capacity=1 << 10, max_capacity=1 << 11,
+        )
+        assert got.to_dict() == want
+        assert int(got.n_unique) == len(want)
+
+    def test_spill_to_dir_and_host_merge(self, tmp_path):
+        import kmer_tpu.ops.wide as wide
+        from kmer_tpu.streaming import count_read_stream
+
+        rng = np.random.default_rng(1)
+        batches = list(self._stream_batches(rng, 5, 48, 36))
+        want = self._oracle(batches, 8)
+        saved = wide._DEVICE_MERGE_MAX_ROWS
+        wide._DEVICE_MERGE_MAX_ROWS = 0  # force the host numpy merge
+        try:
+            got = count_read_stream(
+                iter(batches), 8, capacity=1 << 10, max_capacity=1 << 11,
+                spill_dir=str(tmp_path),
+            )
+        finally:
+            wide._DEVICE_MERGE_MAX_ROWS = saved
+        assert got.to_dict() == want
+        import os
+
+        assert any(f.startswith("spill_") for f in os.listdir(tmp_path))
+
+    def test_merge_runs_device_vs_host_identical(self):
+        from kmer_tpu.ops.wide import WideCounts, merge_runs, wide_from_table
+        from kmer_tpu.ops.count import count_dna
+
+        runs = [
+            wide_from_table(count_dna("ACGTACGTACGTAAAA", 5)).trim(),
+            wide_from_table(count_dna("ACGTACGTTTTTGGGG", 5)).trim(),
+            wide_from_table(count_dna("ACGTACGTACGTAAAA", 5)).trim(),
+        ]
+        dev = merge_runs(runs, prefer_device=True)
+        host = merge_runs(runs, prefer_device=False)
+        assert dev.to_dict() == host.to_dict()
+        # a key present in all three runs sums across them
+        from collections import Counter
+
+        from kmer_tpu.ops.extract import extract_to_strings
+
+        want = Counter()
+        for s in ("ACGTACGTACGTAAAA", "ACGTACGTTTTTGGGG",
+                  "ACGTACGTACGTAAAA"):
+            want.update(extract_to_strings(s, 5))
+        assert dev.to_dict() == dict(want)
+
+    def test_spill_counts_past_2_31_hi_lane(self):
+        """Host merge carries the 64-bit lanes exactly."""
+        from kmer_tpu.ops.wide import WideCounts, merge_runs
+
+        big = 3_000_000_000  # > 2^31
+        run = WideCounts(
+            hi=np.asarray([42], np.uint32), lo=np.asarray([0], np.uint32),
+            length=np.asarray([8], np.int32),
+            counts_hi=np.asarray([big >> 32], np.int32),
+            counts_lo=np.asarray([big & 0xFFFFFFFF], np.uint32),
+            n_unique=np.int64(1),
+        )
+        merged = merge_runs([run, run], prefer_device=False)
+        assert merged.counts64().tolist() == [2 * big]
+        dev = merge_runs([run, run], prefer_device=True)
+        assert dev.counts64().tolist() == [2 * big]
+
+    def test_batch_table_larger_than_budget_raises(self):
+        from kmer_tpu.ops.wide import WideAccumulator
+        from kmer_tpu.ops.count import count_dna
+
+        acc = WideAccumulator(1 << 4, max_capacity=1 << 5)
+        with pytest.raises(ValueError, match="max_capacity"):
+            # one batch with 100+ slots cannot fit a 32-slot budget
+            acc.add(count_dna("ACGT" * 40, 7))
+            acc.add(count_dna("TTTT" * 40, 7))
