@@ -30,6 +30,10 @@ def main() -> int:
         result = run_chr_bench()
     elif mode == "query":  # BASELINE configs[2]: index lookups
         result = run_query_bench()
+    elif mode == "pattern":  # qkmer @> serving (reference contains scans)
+        from kmer_tpu.bench import run_pattern_bench
+
+        result = run_pattern_bench()
     else:
         fn = run_bench_stream if mode == "stream" else run_bench
         result = fn(n_reads=n_reads, read_len=150, k=21, canonical=True)

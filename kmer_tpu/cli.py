@@ -348,6 +348,10 @@ def _run_bench_modes(args) -> int:
         from .bench import run_sharded_query_bench
 
         result = run_sharded_query_bench()
+    elif args.mode == "pattern":
+        from .bench import run_pattern_bench
+
+        result = run_pattern_bench()
     elif args.mode == "chr":
         from .bench import run_chr_bench
 
@@ -515,7 +519,8 @@ def main(argv=None) -> int:
     b.add_argument("--no-canonical", action="store_true")
     b.add_argument("--no-pallas", action="store_true",
                    help="force the XLA segment-count path (no Pallas kernel)")
-    b.add_argument("--mode", choices=["fused", "stream", "chr", "shq"],
+    b.add_argument("--mode",
+                   choices=["fused", "stream", "chr", "shq", "pattern"],
                    default="fused")
     b.add_argument("--queries", action="store_true",
                    help="benchmark index lookups instead of counting")

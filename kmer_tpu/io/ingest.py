@@ -53,7 +53,18 @@ def iter_record_chunks(
     carry = b""
     with _open_stream(path) as f:
         while True:
-            block = f.read(chunk_bytes)
+            # read the window in bounded increments: file.read(n)
+            # preallocates ~n bytes, so a very large chunk_bytes (e.g.
+            # "whole file" sentinels) must not become one giant alloc
+            parts = []
+            got = 0
+            while got < chunk_bytes:
+                b = f.read(min(64 << 20, chunk_bytes - got))
+                if not b:
+                    break
+                parts.append(b)
+                got += len(b)
+            block = b"".join(parts)
             if not block:
                 break
             data = carry + block
