@@ -181,6 +181,7 @@ def _cmd_count(args) -> int:
                 chunk_bytes=args.chunk_mb << 20 if args.chunk_mb else None,
             ),
             args.k, canonical=args.canonical, stats=stats,
+            capacity=args.slots,
             max_capacity=args.max_slots or None,
             spill_dir=args.spill_dir,
         )
@@ -198,11 +199,32 @@ def _cmd_count(args) -> int:
         result = table.group_by_kmer()
         stats.record_batch(len(table), 0, result.total(), result.distinct())
     log.info("stats %s", stats.to_json())
-    items = sorted(result.to_dict().items(), key=lambda kv: (-kv[1], kv[0]))
-    top = items[: args.top] if args.top else items
-    for kmer, count in top:
-        print(f"{kmer}\t{count}")
-    print(f"# {result.distinct()} distinct, {result.total()} total", file=sys.stderr)
+    # top-N straight off the trimmed arrays: trim rows are in ascending
+    # key order, so a stable sort by -count keeps ties key-ascending —
+    # and only the printed rows are decoded (a to_dict of millions of
+    # groups spiked a 2.5 GB count's RSS to 4.4 GB just to print 3)
+    import numpy as np
+
+    from .packed import PackedKmers
+
+    t = result.trim()
+    c64 = (
+        t.counts64()
+        if hasattr(t, "counts64")
+        else np.asarray(t.counts, np.int64)
+    )
+    order = np.argsort(-c64, kind="stable")
+    if args.top:
+        order = order[: args.top]
+    strs = PackedKmers(
+        hi=np.asarray(t.hi)[order],
+        lo=np.asarray(t.lo)[order],
+        length=np.asarray(t.length)[order],
+    ).to_strings()
+    for kmer, count in zip(strs, c64[order]):
+        print(f"{kmer}\t{int(count)}")
+    total = int(c64.sum())
+    print(f"# {c64.size} distinct, {total} total", file=sys.stderr)
     if args.save:
         from .ops.wide import WideCounts
 
@@ -485,6 +507,12 @@ def main(argv=None) -> int:
         "--chunk-mb", type=int, default=0, metavar="MB",
         help="ingest window size in MiB (default 256); files stream "
         "through record-aligned windows, never fully in RAM",
+    )
+    c.add_argument(
+        "--slots", type=int, default=1 << 16, metavar="N",
+        help="initial accumulator capacity in slots; it grows "
+        "geometrically (one recompile per doubling), so seeding near "
+        "the expected distinct-key count skips the growth ladder",
     )
     c.add_argument(
         "--max-slots", type=int, default=0, metavar="N",

@@ -64,10 +64,10 @@ def iter_record_chunks(
                     break
                 parts.append(b)
                 got += len(b)
-            block = b"".join(parts)
-            if not block:
+            if not parts:
                 break
-            data = carry + block
+            block = parts[0] if len(parts) == 1 else b"".join(parts)
+            data = (carry + block) if carry else block
             # find a boundary near the end; widen backwards if the tail
             # window is mid-record (or its candidates fail validation
             # because their lookahead lines are truncated)

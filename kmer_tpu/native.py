@@ -189,8 +189,19 @@ def _parse_threads() -> int:
     return min(os.cpu_count() or 1, 16)
 
 
+def _default_max_reads(data: bytes, fmt: str, max_reads) -> int:
+    """Tight offsets-buffer bound: a FASTA record is >= 3 bytes and a
+    FASTQ record >= 8, so size the int64 offsets array from the input
+    instead of a fixed 1<<24 (134 MB of zeros per chunk on the
+    out-of-core path)."""
+    if max_reads is not None:
+        return max_reads
+    per = 8 if fmt == "fastq" else 3
+    return min(1 << 24, len(data) // per + 16)
+
+
 def fasta_encode(data: bytes, skip_invalid: bool = True,
-                 max_reads: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
+                 max_reads: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """FASTA bytes -> (code stream, per-read offsets [n_reads+1]).
 
     Native multithreaded parse (two-phase: validated record-boundary
@@ -203,6 +214,7 @@ def fasta_encode(data: bytes, skip_invalid: bool = True,
     lib = _load()
     if lib is None:
         return _fasta_encode_py(data, skip_invalid)
+    max_reads = _default_max_reads(data, "fasta", max_reads)
     n = len(data)
     codes = np.empty(n, dtype=np.uint8)
     offsets = np.empty(max_reads + 1, dtype=np.int64)
@@ -222,7 +234,7 @@ def fasta_encode(data: bytes, skip_invalid: bool = True,
 
 
 def fastq_encode(data: bytes, skip_invalid: bool = True,
-                 max_reads: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
+                 max_reads: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """FASTQ bytes -> (code stream, per-read offsets [n_reads+1]).
 
     Strict 4-line records (@header / sequence / + / quality); quality
@@ -232,6 +244,7 @@ def fastq_encode(data: bytes, skip_invalid: bool = True,
     lib = _load()
     if lib is None:
         return _fastq_encode_py(data, skip_invalid)
+    max_reads = _default_max_reads(data, "fastq", max_reads)
     n = len(data)
     codes = np.empty(n, dtype=np.uint8)
     offsets = np.empty(max_reads + 1, dtype=np.int64)

@@ -158,14 +158,50 @@ def count_read_stream(
     """
     from .ops.wide import WideAccumulator
 
-    step = jax.jit(lambda c, l: count_kmers(c, l, k, canonical))
+    import time as _time
+    from collections import deque
+
+    from .native import device_unpack_rows, pack2bit_rows
+
+    # host->device wire format: 2-bit packed words (0.25 B/base), with
+    # the unpack fused into the count jit — the raw uint8 rows are 4x
+    # the bytes, and slow host links make the feed wire-bound
+    step = jax.jit(
+        lambda w, l, width: count_kmers(
+            device_unpack_rows(w, width), l, k, canonical
+        ),
+        static_argnames=("width",),
+    )
     acc = WideAccumulator(capacity, max_capacity=max_capacity,
                           spill_dir=spill_dir)
+    inflight: deque = deque()
+    n_done = 0
     for codes, lengths in read_batches:
-        acc.add(step(jnp.asarray(codes), jnp.asarray(lengths)))
+        codes = np.asarray(codes)
+        table = step(jnp.asarray(pack2bit_rows(codes)),
+                     jnp.asarray(lengths), codes.shape[1])
+        acc.add(table)
         if stats is not None:
             nb = int(np.asarray(lengths).sum())
             stats.record_batch(codes.shape[0], nb, max(nb - k + 1, 0), 0)
+        # bound dispatch runahead: an unbounded queue holds every queued
+        # batch's host rows and transfer buffers in RAM (measured: a
+        # 2.5 GB file count ballooned past 2.9 GB RSS on the slow-
+        # dispatch tunnel with a bounded feed but unbounded dispatch)
+        inflight.append(table.counts)
+        while len(inflight) > 2:
+            if inflight[0].is_ready():
+                inflight.popleft()
+            else:
+                _time.sleep(0.02)
+        n_done += 1
+        if n_done % 8 == 0:
+            # remote-backend clients retain per-upload staging buffers
+            # until a GC pass; a long count otherwise creeps ~1 staged
+            # batch of host RAM per step (measured on the tunnel)
+            import gc
+
+            gc.collect()
     if acc.empty:
         raise ValueError("empty read stream")
     return acc.result()

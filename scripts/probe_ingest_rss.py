@@ -62,7 +62,8 @@ def count_subprocess(path: str, chunk_mb: int, k: int = 21,
     proc = subprocess.run(
         [sys.executable, "-m", "kmer_tpu", "count", "--input", path,
          "-k", str(k), "--canonical", "--batch", "262144",
-         "--chunk-mb", str(chunk_mb), "--top", "3"],
+         "--chunk-mb", str(chunk_mb), "--slots", str(1 << 24),
+         "--top", "3"],
         capture_output=True, text=True, env=env, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -81,9 +82,19 @@ def main():
     ap.add_argument("--budget-mb", type=int, default=1500)
     ap.add_argument("--dir", default="/tmp/ingest_rss")
     ap.add_argument("--skip-big", action="store_true")
+    ap.add_argument(
+        "--phase", choices=["small", "big", "all"], default="all",
+        help="'small' claims the device itself (run under tpu_run.sh); "
+        "'big' must run WITHOUT a device claim in this process — the "
+        "counting child claims the single-admission tunnel itself",
+    )
     a = ap.parse_args()
     os.makedirs(a.dir, exist_ok=True)
     out = {}
+
+    if a.phase == "big":
+        big_phase(a)
+        return
 
     # -- small-file byte-identical parity + feed rate -------------------
     small = os.path.join(a.dir, "small.fastq")
@@ -120,32 +131,46 @@ def main():
     print(json.dumps(out), flush=True)
     assert chk_s <= mem_s / 0.8 + 2.0, "chunked feed slower than 0.8x in-memory"
 
-    # -- big-file bounded-RSS count -------------------------------------
-    if not a.skip_big:
-        big = os.path.join(a.dir, "big.fastq")
-        n_reads = int(a.gb * 1e9 / (READ_LEN * 2 + 16))
-        if not os.path.exists(big):
-            t0 = time.perf_counter()
-            bsz = write_fastq(big, n_reads, seed=8)
-            print(f"wrote {bsz/1e9:.2f} GB fastq in "
-                  f"{time.perf_counter()-t0:.0f}s", flush=True)
-        info, wall, peak_gb = count_subprocess(big, chunk_mb=256)
-        bsz = os.path.getsize(big)
-        out2 = {
-            "big_file_gb": round(bsz / 1e9, 3),
-            "count_wall_s": round(wall, 1),
-            "feed_gb_per_s": round(bsz / 1e9 / wall, 3),
-            "child_peak_rss_gb": round(peak_gb, 2),
-            "rss_budget_gb": round(a.budget_mb / 1000, 2),
-            "summary": info["summary"],
-        }
-        print(json.dumps(out2), flush=True)
-        assert peak_gb * 1000 < a.budget_mb, (
-            f"peak RSS {peak_gb:.2f} GB exceeded budget {a.budget_mb} MB")
-        out.update(out2)
-    with open("/tmp/ingest_rss.json", "w") as f:
+    with open("/tmp/ingest_rss_small.json", "w") as f:
         json.dump(out, f, indent=1)
-    print("probe_ingest_rss OK", flush=True)
+    if a.phase == "all" and not a.skip_big:
+        print("NOTE: run --phase big in a separate, claim-free process "
+              "(the counting child needs the single-admission tunnel)",
+              flush=True)
+    print("probe_ingest_rss small OK", flush=True)
+
+
+def big_phase(a):
+    """Bounded-RSS count of a multi-GB file.  This parent stays off the
+    device entirely (no jax import); the `kmer_tpu count` child claims
+    the tunnel itself and its ru_maxrss is the RSS measurement."""
+    big = os.path.join(a.dir, "big.fastq")
+    n_reads = int(a.gb * 1e9 / (READ_LEN * 2 + 16))
+    if not os.path.exists(big) or os.path.getsize(big) < a.gb * 0.95e9:
+        t0 = time.perf_counter()
+        bsz = write_fastq(big, n_reads, seed=8)
+        print(f"wrote {bsz/1e9:.2f} GB fastq in "
+              f"{time.perf_counter()-t0:.0f}s", flush=True)
+    info, wall, peak_gb = count_subprocess(big, chunk_mb=128)
+    bsz = os.path.getsize(big)
+    out2 = {
+        "big_file_gb": round(bsz / 1e9, 3),
+        "count_wall_s": round(wall, 1),
+        "feed_gb_per_s": round(bsz / 1e9 / wall, 3),
+        "child_peak_rss_gb": round(peak_gb, 2),
+        "rss_budget_gb": round(a.budget_mb / 1000, 2),
+        "summary": info["summary"],
+    }
+    print(json.dumps(out2), flush=True)
+    assert peak_gb * 1000 < a.budget_mb, (
+        f"peak RSS {peak_gb:.2f} GB exceeded budget {a.budget_mb} MB")
+    small = {}
+    if os.path.exists("/tmp/ingest_rss_small.json"):
+        small = json.load(open("/tmp/ingest_rss_small.json"))
+    small.update(out2)
+    with open("/tmp/ingest_rss.json", "w") as f:
+        json.dump(small, f, indent=1)
+    print("probe_ingest_rss big OK", flush=True)
 
 
 if __name__ == "__main__":
