@@ -86,13 +86,36 @@ class WideCounts:
         ) + np.asarray(self.counts_lo, np.int64)
 
     def trim(self) -> "WideCounts":
-        """Host-side: compact to live slots.
+        """Compact to live slots (host result).
 
-        Selects by ``counts > 0`` rather than ``[:n_unique]``: a
-        *sharded* accumulator gathered to host has live slots at the
-        front of each shard, not globally, and its n_unique is the
-        global psum.
+        Device-resident accumulators verify the front-compaction
+        invariant ON DEVICE (two cheap reductions) and transfer only the
+        ``n_unique`` live rows — a full-capacity device_get of a 16M-slot
+        accumulator moved 335 MB over the host link just to mask most of
+        it away.  Arrays that fail the check (e.g. a *sharded*
+        accumulator gathered to host, whose live slots sit at the front
+        of each shard, not globally) fall back to the host-side
+        ``counts > 0`` mask.
         """
+        if isinstance(self.hi, jax.Array) and not isinstance(
+            self.hi, np.ndarray
+        ):
+            n = int(self.n_unique)
+            live = (self.counts_hi > 0) | (self.counts_lo > 0)
+            front_ok = bool(live[:n].all()) if n else True
+            rest_ok = not bool(live[n:].any())
+            if front_ok and rest_ok:
+                return WideCounts(
+                    hi=np.asarray(jax.device_get(self.hi[:n]), np.uint32),
+                    lo=np.asarray(jax.device_get(self.lo[:n]), np.uint32),
+                    length=np.asarray(jax.device_get(self.length[:n]),
+                                      np.int32),
+                    counts_hi=np.asarray(
+                        jax.device_get(self.counts_hi[:n]), np.int32),
+                    counts_lo=np.asarray(
+                        jax.device_get(self.counts_lo[:n]), np.uint32),
+                    n_unique=np.int64(n),
+                )
         ch = np.asarray(self.counts_hi)
         cl = np.asarray(self.counts_lo)
         live = (ch > 0) | (cl > 0)
