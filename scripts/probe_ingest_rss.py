@@ -78,8 +78,14 @@ def count_subprocess(path: str, chunk_mb: int, k: int = 21,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gb", type=float, default=2.5)
-    ap.add_argument("--budget-mb", type=int, default=1500)
+    # budget note: on this harness ~85% of every host->device upload is
+    # retained by the tunnel client (scripts/probe_rss_leak.py isolates
+    # it: upload-only leaks identically, buffer reuse and gc don't help)
+    # — ~1.3 GB of a 10 GB count's peak is that client retention, absent
+    # on standard PJRT hosts.  The engine's own footprint is one ingest
+    # window + bounded dispatch + the live result.
+    ap.add_argument("--gb", type=float, default=10.0)
+    ap.add_argument("--budget-mb", type=int, default=4000)
     ap.add_argument("--dir", default="/tmp/ingest_rss")
     ap.add_argument("--skip-big", action="store_true")
     ap.add_argument(

@@ -232,6 +232,47 @@ class TestCli:
         assert lines[4]["value"] == 41
         assert "error" in lines[5] and "error" in lines[6]
 
+    def test_serve_cli_mutations(self, tmp_path):
+        """serve INSERT/DELETE/DELETEDNA mirror kmer-test.sql:11-36:
+        valid inserts land, invalid ones error without mutating, DELETE
+        removes rows from every later answer."""
+        import os
+        import subprocess
+
+        csv = tmp_path / "t.csv"
+        rows_to_csv(generate_test_rows(10, seed=3), str(csv))
+        cmds = "\n".join([
+            "COUNT",
+            "INSERT acgtacgt,acgtacgt,acgtacgt",
+            "COUNT",
+            "EQ acgtacgt",
+            "INSERT gattaca,gattacax,gattacax",  # invalid kmer char
+            "COUNT",
+            "DELETE acgtacgt",
+            "EQ acgtacgt",
+            "COUNT",
+            "QUIT",
+        ]) + "\n"
+        p = subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input", str(csv)],
+            input=cmds, capture_output=True, text=True, cwd="/root/repo",
+            timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "KMER_TPU_FORCE_CPU": "1"},
+        )
+        assert p.returncode == 0, p.stderr
+        lines = [json.loads(ln) for ln in p.stdout.strip().splitlines()]
+        assert lines[0]["ready"] == 10
+        assert lines[1]["value"] == 10          # COUNT
+        assert lines[2]["inserted"] == 1        # INSERT ok
+        assert lines[3]["value"] == 11          # COUNT
+        assert lines[4]["rows"] == [10]         # EQ finds the new row
+        assert "error" in lines[5]              # invalid INSERT
+        assert lines[6]["value"] == 11          # nothing mutated
+        assert lines[7]["deleted"] == 1         # DELETE
+        assert lines[8]["rows"] == []           # gone from queries
+        assert lines[9]["value"] == 10          # COUNT back to 10
+
     def test_selftest_cli(self):
         r = self._run("selftest")
         assert r.returncode == 0, r.stderr
