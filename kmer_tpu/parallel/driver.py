@@ -218,7 +218,37 @@ def run_distcount(
     )
 
     step = make_sharded_stream_step(mesh, k, canonical, acc_capacity, slack)
-    from .streaming import empty_sharded_acc
+    from .streaming import _StreamSnapshotter, empty_sharded_acc
+
+    # warm BOTH jit variants (fresh-zeros overflow AND the committed
+    # replicated overflow every later step feeds back) on a windowless
+    # zero batch — without this, step 2 of the real stream pays the
+    # second ~35s compile in-loop (measured for stream_sharded_count,
+    # PERF.md §7 item 4; the driver loop has the same shape)
+    zc = np.zeros((batch, width), np.uint8)
+    zl = np.zeros((batch,), np.int32)
+    gzc, gzl = put_global_batch(mesh, zc, zl)
+    wacc = empty_sharded_acc(mesh, acc_capacity)
+    wacc, wovf = step(wacc, jnp.zeros((), jnp.int32), gzc, gzl)
+    wacc, wovf = step(wacc, wovf, gzc, gzl)
+    jax.block_until_ready(wacc.counts_lo)
+    # single-process runs checkpoint through the packed snapshotter
+    # (one transfer RPC, uncompressed, live slots only); multi-process
+    # keeps the addressable-shard path
+    snapper = (
+        _StreamSnapshotter(int(np.prod(mesh_shape)), acc_capacity)
+        if jax.process_count() == 1
+        else None
+    )
+    if snapper is not None and ckpt:
+        wpath = _rank_path(ckpt, pid) + ".warmup"
+        try:
+            snapper.write(snapper.snapshot(wacc), wpath, {})
+        finally:
+            if os.path.exists(wpath):
+                os.remove(wpath)
+    del wacc
+    log.info("distcount step warmed up")
 
     start_batch = 0
     overflow = jnp.zeros((), jnp.int32)
@@ -241,17 +271,24 @@ def run_distcount(
         acc = empty_sharded_acc(mesh, acc_capacity)
 
     done = start_batch
+    import time as _time
+    from collections import deque
+
     from .streaming import AsyncCheckpointer
 
-    ckpt = (
-        AsyncCheckpointer(
-            lambda acc_, done_, ovf_: _save_rank(
-                acc_, rank_ckpt, done_, int(ovf_), mesh_shape
-            )
-        )
-        if rank_ckpt
-        else None
-    )
+    def _write_ckpt(payload, done_, ovf_):
+        if snapper is not None:
+            snapper.write(payload, rank_ckpt, {
+                "batches_done": done_,
+                "overflow": int(ovf_),
+                "mesh_shape": list(mesh_shape),
+                "process_count": jax.process_count(),
+            })
+        else:
+            _save_rank(payload, rank_ckpt, done_, int(ovf_), mesh_shape)
+
+    ckpt = AsyncCheckpointer(_write_ckpt) if rank_ckpt else None
+    inflight: deque = deque()
     for i, (codes, lengths) in enumerate(
         file_batches_fixed(input_path, fmt, k, batch, width,
                            chunk_bytes=chunk_bytes)
@@ -267,10 +304,17 @@ def run_distcount(
                 int((ls > 0).sum()), int(ls.sum()),
                 int(np.maximum(ls - (k - 1), 0).sum()), 0,
             )
+        # bounded dispatch runahead (same rationale as
+        # stream_sharded_count: finite queues, host RAM, honest pacing)
+        inflight.append(overflow)
+        while len(inflight) > 16:
+            if inflight[0].is_ready():
+                inflight.popleft()
+            else:
+                _time.sleep(0.02)
         if ckpt is not None and done % ckpt_every == 0:
-            # overflow converts on the background thread (the device
-            # sync rides there too; see streaming.AsyncCheckpointer)
-            ckpt.submit(acc, done, overflow)
+            payload = snapper.snapshot(acc) if snapper is not None else acc
+            ckpt.submit(payload, done, overflow)
             log.info("rank %d checkpoint %d submitted", pid, done)
     if ckpt is not None:
         ckpt.close()
