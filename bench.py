@@ -55,6 +55,14 @@ def main() -> int:
             }
         except Exception:
             pass
+    ing_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "INGEST_r04.json")
+    if os.path.exists(ing_path):
+        try:
+            with open(ing_path) as f:
+                detail["out_of_core_ingest"] = json.load(f)
+        except Exception:
+            pass
     print(json.dumps(result), flush=True)
     print(json.dumps({"detail": detail}), file=sys.stderr)
     return 0

@@ -472,3 +472,86 @@ class TestSpillMerge:
             # one batch with 100+ slots cannot fit a 32-slot budget
             acc.add(count_dna("ACGT" * 40, 7))
             acc.add(count_dna("TTTT" * 40, 7))
+
+
+class TestBlockedCompact:
+    """ops/wide._narrow_to_cap: the blocked candidate-extraction compact
+    must be bit-exact vs the full narrowing sort on every tier, on both
+    duplicate-heavy (blocked route) and distinct-heavy (fallback) data."""
+
+    def _fold_oracle_pair(self, k, n, n_distinct, seed, monkeypatch):
+        import collections
+
+        import jax.numpy as jnp
+
+        import kmer_tpu.ops.wide as wide
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        rng = np.random.default_rng(seed)
+        bits = 2 * k
+        pool_hi = rng.integers(0, 1 << 30, n_distinct).astype(np.uint32) << np.uint32(2)
+        if bits > 32:
+            rem = bits - 32
+            pool_lo = (rng.integers(0, 1 << min(rem, 30), n_distinct)
+                       .astype(np.uint32) << np.uint32(32 - rem))
+        else:
+            pool_hi = (pool_hi >> np.uint32(32 - bits)) << np.uint32(32 - bits)
+            pool_lo = np.zeros(n_distinct, np.uint32)
+        sel = rng.integers(0, n_distinct, n)
+        hi, lo = pool_hi[sel], pool_lo[sel]
+        valid = rng.random(n) < 0.9
+
+        monkeypatch.setattr(wide, "_COMPACT_MIN_N", 64)  # force blocked
+        acc_b = fold_windows_into_wide(
+            wide.WideCounts.empty(8192), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.asarray(valid), k)
+        monkeypatch.setattr(wide, "_COMPACT_MIN_N", 1 << 62)  # force full
+        acc_f = fold_windows_into_wide(
+            wide.WideCounts.empty(8192), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.asarray(valid), k)
+
+        c = collections.Counter()
+        for h, l, v in zip(hi, lo, valid):
+            if v:
+                c[(int(h), int(l))] += 1
+        return acc_b, acc_f, c
+
+    @pytest.mark.parametrize("k", [8, 15, 21, 23, 31, 32])
+    @pytest.mark.parametrize("n_distinct,tag", [(40, "dup"), (4000, "uni")])
+    def test_blocked_equals_full_and_oracle(self, k, n_distinct, tag,
+                                            monkeypatch):
+        acc_b, acc_f, c = self._fold_oracle_pair(k, 4096, n_distinct,
+                                                 seed=k * 7 + n_distinct,
+                                                 monkeypatch=monkeypatch)
+        for acc in (acc_b, acc_f):
+            t = acc.trim()
+            got = {(int(h), int(l)): int(cc)
+                   for h, l, cc in zip(t.hi, t.lo, t.counts64())}
+            assert got == dict(c), (k, tag)
+            assert int(acc.n_unique) == len(c)
+
+    def test_adversarial_block_overflow_falls_back(self, monkeypatch):
+        """>8 live heads in one 32-row block must route to the full sort
+        (the in-graph cond) and stay exact."""
+        import collections
+
+        import jax.numpy as jnp
+
+        import kmer_tpu.ops.wide as wide
+        from kmer_tpu.ops.wide import fold_windows_into_wide
+
+        monkeypatch.setattr(wide, "_COMPACT_MIN_N", 64)
+        # 128 consecutive DISTINCT keys each once: every block is all
+        # live heads (32 > L=8)
+        hi = (np.arange(128, dtype=np.uint32) << np.uint32(11)) + np.uint32(4)
+        lo = np.zeros(128, np.uint32)
+        valid = np.ones(128, bool)
+        acc = fold_windows_into_wide(
+            wide.WideCounts.empty(256), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.asarray(valid), 21)
+        t = acc.trim()
+        assert int(acc.n_unique) == 128
+        c = collections.Counter((int(h), 0) for h in hi)
+        got = {(int(h), int(l)): int(cc)
+               for h, l, cc in zip(t.hi, t.lo, t.counts64())}
+        assert got == dict(c)
