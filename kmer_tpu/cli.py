@@ -424,6 +424,7 @@ def _cmd_distcount(args) -> int:
         out=args.out,
         stats=stats,
         chunk_bytes=args.chunk_mb << 20 if args.chunk_mb else None,
+        spill_dir=args.spill_dir,
     )
     get_logger().info("stats %s", stats.to_json())
     t = local.trim()
@@ -580,6 +581,12 @@ def main(argv=None) -> int:
                     help="ingest window size in MiB (default 256)")
     dc.add_argument("--ckpt", default=None, help="checkpoint path stem")
     dc.add_argument("--ckpt-every", type=int, default=16)
+    dc.add_argument(
+        "--spill-dir", default=None, metavar="DIR",
+        help="flush live slots to sorted runs under DIR when a shard "
+        "nears capacity; the result is their exact K-way merge "
+        "(requires --ckpt; removes the overflow re-run failure mode)",
+    )
     dc.add_argument("--out", default=None, help="result path stem (.rank{i}.npz)")
     dc.set_defaults(fn=_cmd_distcount)
 

@@ -568,7 +568,10 @@ def merge_runs(runs: list[WideCounts], prefer_device: bool = True) -> WideCounts
     reduceat), which is unbounded by HBM — the whole point of spilling.
     Returns a host-resident trimmed WideCounts either way.
     """
-    trims = [r.trim() if not isinstance(r.hi, np.ndarray) else r for r in runs]
+    # always trim: an untrimmed host table (e.g. a loaded run file's
+    # expanded shards) carries dead sentinel slots that the host merge
+    # path would otherwise emit as zero-count groups
+    trims = [r.trim() for r in runs]
     trims = [t for t in trims if np.asarray(t.hi).size]
     if not trims:
         return WideCounts.empty(8).trim()

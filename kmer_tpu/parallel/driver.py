@@ -186,6 +186,8 @@ def run_distcount(
     mesh=None,
     stats: StatsCounters | None = None,
     chunk_bytes: int | None = None,
+    spill_dir: str | None = None,
+    spill_threshold: float = 0.85,
 ) -> tuple[WideCounts, int]:
     """End-to-end distributed count of one per-host input shard.
 
@@ -193,6 +195,19 @@ def run_distcount(
     WideCounts, overflow).  overflow > 0 means bucket/accumulator
     capacity clipped some keys — re-run with a larger ``acc_capacity``
     or ``slack`` (exactness contract of stream_sharded_count).
+
+    ``spill_dir`` removes the accumulator-capacity half of that failure
+    mode: when any shard's live count (observed by the last completed
+    checkpoint write, so no extra device sync) crosses
+    ``spill_threshold * acc_capacity``, the rank's live slots flush to a
+    sorted run file, the device accumulator resets, and the final table
+    is the exact K-way merge of all runs plus the live accumulator
+    (ops/wide.merge_runs; per-rank merging is correct because shards own
+    disjoint hash ranges).  Requires checkpoints (``ckpt``), whose
+    metadata carries the run list across resumes.  Headroom note: the
+    trigger lags by up to ``ckpt_every`` batches, so the threshold must
+    leave room for that many batches of new keys; an actual overflow is
+    still counted and reported honestly.
     """
     from .multihost import initialize_multihost, make_pod_mesh
 
@@ -250,6 +265,11 @@ def run_distcount(
     del wacc
     log.info("distcount step warmed up")
 
+    if spill_dir is not None:
+        if not ckpt:
+            raise ValueError("spill_dir requires checkpoints (ckpt)")
+        os.makedirs(spill_dir, exist_ok=True)
+    spill_runs: list[str] = []
     start_batch = 0
     overflow = jnp.zeros((), jnp.int32)
     rank_ckpt = _rank_path(ckpt, pid) if ckpt else None
@@ -266,7 +286,9 @@ def run_distcount(
         acc = _global_from_local(mesh, local_acc)
         start_batch = int(resume_meta.get("batches_done", 0))
         overflow = overflow + int(resume_meta.get("overflow", 0))
-        log.info("resumed rank %d at batch %d", pid, start_batch)
+        spill_runs = list(resume_meta.get("spill_runs", []))
+        log.info("resumed rank %d at batch %d (%d spill runs)",
+                 pid, start_batch, len(spill_runs))
     else:
         acc = empty_sharded_acc(mesh, acc_capacity)
 
@@ -276,16 +298,24 @@ def run_distcount(
 
     from .streaming import AsyncCheckpointer
 
-    def _write_ckpt(payload, done_, ovf_):
+    spill_state = {"max_live": 0}
+
+    def _write_ckpt(payload, done_, ovf_, runs_):
+        meta = {
+            "batches_done": done_,
+            "overflow": int(ovf_),
+            "mesh_shape": list(mesh_shape),
+            "process_count": jax.process_count(),
+            "spill_runs": runs_,
+        }
         if snapper is not None:
-            snapper.write(payload, rank_ckpt, {
-                "batches_done": done_,
-                "overflow": int(ovf_),
-                "mesh_shape": list(mesh_shape),
-                "process_count": jax.process_count(),
-            })
+            snapper.write(payload, rank_ckpt, meta)
+            spill_state["max_live"] = snapper.last_max_live
         else:
-            _save_rank(payload, rank_ckpt, done_, int(ovf_), mesh_shape)
+            spill_state["max_live"] = max(
+                spill_state["max_live"],
+                _save_rank(payload, rank_ckpt, meta, acc_capacity),
+            )
 
     ckpt = AsyncCheckpointer(_write_ckpt) if rank_ckpt else None
     inflight: deque = deque()
@@ -314,32 +344,88 @@ def run_distcount(
                 _time.sleep(0.02)
         if ckpt is not None and done % ckpt_every == 0:
             payload = snapper.snapshot(acc) if snapper is not None else acc
-            ckpt.submit(payload, done, overflow)
+            ckpt.submit(payload, done, overflow, list(spill_runs))
             log.info("rank %d checkpoint %d submitted", pid, done)
+        if (
+            spill_dir is not None
+            and spill_state["max_live"] > spill_threshold * acc_capacity
+        ):
+            # flush live slots to a sorted run and reset the accumulator
+            # (exact: per-key totals add across runs; shard hash ranges
+            # never change, so per-rank merging stays correct)
+            ckpt.close()
+            run_path = os.path.join(
+                spill_dir, f"run_rank{pid}_{len(spill_runs):04d}.npz"
+            )
+            if snapper is not None:
+                snapper.write(snapper.snapshot(acc), run_path, {
+                    "mesh_shape": list(mesh_shape),
+                })
+            else:
+                save_wide(local_wide(acc), run_path, {
+                    "mesh_shape": list(mesh_shape),
+                    "process_count": jax.process_count(),
+                })
+            spill_runs.append(run_path)
+            acc = empty_sharded_acc(mesh, acc_capacity)
+            spill_state["max_live"] = 0
+            if snapper is not None:
+                snapper.last_max_live = 0
+            log.info("rank %d spilled run %d at batch %d", pid,
+                     len(spill_runs) - 1, done)
+            # persist the run list + fresh accumulator immediately
+            payload = snapper.snapshot(acc) if snapper is not None else acc
+            ckpt.submit(payload, done, overflow, list(spill_runs))
     if ckpt is not None:
         ckpt.close()
     if done == start_batch and start_batch == 0:
         raise ValueError("empty batch stream")
     ovf = int(overflow)
     if rank_ckpt:
-        _save_rank(acc, rank_ckpt, done, ovf, mesh_shape)
-    local = local_wide(acc)
-    if out:
-        save_wide(local, _rank_path(out, pid), {
-            "k": k, "canonical": canonical, "overflow": ovf,
+        _save_rank(acc, rank_ckpt, {
+            "batches_done": done, "overflow": ovf,
             "mesh_shape": list(mesh_shape),
             "process_count": jax.process_count(),
+            "spill_runs": list(spill_runs),
         })
+    local = local_wide(acc)
+    out_meta = {
+        "k": k, "canonical": canonical, "overflow": ovf,
+        "mesh_shape": list(mesh_shape),
+        "process_count": jax.process_count(),
+    }
+    if spill_runs:
+        # exact K-way merge of this rank's spilled runs + the live
+        # accumulator (ops/wide.merge_runs; shard hash ranges are
+        # disjoint per rank, so per-rank merging is exact)
+        from ..ops.wide import merge_runs
+
+        parts = [load_wide(p)[0] for p in spill_runs]
+        local = merge_runs(parts + [local])
+        log.info("rank %d merged %d spill runs -> %d groups",
+                 pid, len(spill_runs), int(local.n_unique))
+        # the merged table is a flat trimmed array, not mesh-sharded
+        out_meta["mesh_shape"] = [1, 1]
+        out_meta["spilled"] = len(spill_runs)
+    if out:
+        save_wide(local, _rank_path(out, pid), out_meta)
     return local, ovf
 
 
-def _save_rank(acc, path, batches_done, overflow, mesh_shape):
-    save_wide(local_wide(acc), path, {
-        "batches_done": batches_done,
-        "overflow": overflow,
-        "mesh_shape": list(mesh_shape),
-        "process_count": jax.process_count(),
-    })
+def _save_rank(acc, path, meta, acc_capacity=None) -> int:
+    """Addressable-shard checkpoint write (multi-process path).
+
+    Returns the max per-device live count when ``acc_capacity`` is
+    given (the spill trigger's signal), else 0."""
+    lw = local_wide(acc)
+    save_wide(lw, path, dict(meta))
+    if acc_capacity:
+        ch = np.asarray(lw.counts_hi)
+        cl = np.asarray(lw.counts_lo)
+        n_sh = max(1, ch.size // acc_capacity)
+        live = ((ch > 0) | (cl > 0)).reshape(n_sh, -1).sum(axis=1)
+        return int(live.max()) if live.size else 0
+    return 0
 
 
 def _global_from_local(mesh, local_acc: WideCounts) -> WideCounts:

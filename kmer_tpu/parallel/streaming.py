@@ -136,6 +136,9 @@ class _StreamSnapshotter:
         # step — that wait overlaps useful compute and must not inflate
         # the adaptive cadence's gap
         self.last_cost_s = 0.0
+        # max per-shard live count observed by the last completed write —
+        # the spill trigger reads this (no extra device sync needed)
+        self.last_max_live = 0
 
     def _round_up(self, mx: int) -> int:
         return min(self.shard_cap, (mx + (mx >> 2) + 1024 + 1023) // 1024 * 1024)
@@ -184,6 +187,7 @@ class _StreamSnapshotter:
         lps = np.asarray(jax.device_get(snap["lps_dev"]), np.int64)
         t1 = _time.perf_counter()
         mx = int(lps.max()) if lps.size else 0
+        self.last_max_live = mx
         if mx > snap["guess"]:
             # the guess was outgrown mid-interval: re-pack at the true
             # bound (unordered dispatch; correctness unaffected)

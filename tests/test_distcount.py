@@ -219,3 +219,79 @@ class TestTwoProcessIntegration:
         for s in shard0 + shard1:
             want.update(_windows(s, K))
         assert merged.to_dict() == dict(want)
+
+
+class TestDriverSpill:
+    """spill_dir removes the accumulator-overflow failure mode: live
+    slots flush to sorted runs and the final table is their exact
+    K-way merge (per-rank; shard hash ranges are disjoint)."""
+
+    K8 = 8  # 4^8 key space: per-shard totals far exceed tiny capacities
+            # while one batch's new keys still fit (spill handles growth
+            # ACROSS batches; a single batch beyond cap is a hard error)
+
+    def _oracle(self, seqs):
+        want = Counter()
+        for s in seqs:
+            want.update(_windows(s, self.K8))
+        return dict(want)
+
+    def test_spill_exceeds_capacity_exact(self, tmp_path):
+        import jax
+
+        from kmer_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(7)
+        # enough distinct 5-mers to overflow tiny shard accumulators
+        seqs = _rand_seqs(400, rng, lo=40, hi=200)
+        fa = tmp_path / "reads.fasta"
+        _write_fasta(fa, seqs)
+        mesh = make_mesh((8, 1), jax.devices()[:8])
+        local, overflow = run_distcount(
+            str(fa), self.K8, batch=8, width=256, acc_capacity=512,
+            mesh=mesh, ckpt=str(tmp_path / "ck"), ckpt_every=1,
+            spill_dir=str(tmp_path / "runs"), spill_threshold=0.4,
+        )
+        assert overflow == 0
+        import os
+
+        assert any(f.startswith("run_") for f in os.listdir(tmp_path / "runs"))
+        assert local.to_dict() == self._oracle(seqs)
+
+    def test_spill_resume_carries_runs(self, tmp_path):
+        """A resume mid-stream after spills must restore the run list
+        from checkpoint metadata and still merge exactly."""
+        import jax
+
+        from kmer_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(8)
+        seqs = _rand_seqs(192, rng, lo=40, hi=150)
+        fa = tmp_path / "reads.fasta"
+        _write_fasta(fa, seqs)
+        mesh = make_mesh((8, 1), jax.devices()[:8])
+
+        # straight run (own ckpt stream)
+        straight, ovf = run_distcount(
+            str(fa), self.K8, batch=8, width=256, acc_capacity=512,
+            mesh=mesh, ckpt=str(tmp_path / "cks"), ckpt_every=1,
+            spill_dir=str(tmp_path / "runs_s"), spill_threshold=0.4,
+        )
+        assert ovf == 0
+
+        # partial run over the head of the file, then resume over the
+        # full file from its checkpoint (batches are file-ordered)
+        head = tmp_path / "head.fasta"
+        _write_fasta(head, seqs[:96])
+        run_distcount(
+            str(head), self.K8, batch=8, width=256, acc_capacity=512,
+            mesh=mesh, ckpt=str(tmp_path / "ckr"), ckpt_every=1,
+            spill_dir=str(tmp_path / "runs_r"), spill_threshold=0.4,
+        )
+        resumed, ovf2 = run_distcount(
+            str(fa), self.K8, batch=8, width=256, acc_capacity=512,
+            mesh=mesh, ckpt=str(tmp_path / "ckr"), ckpt_every=1,
+            spill_dir=str(tmp_path / "runs_r"), spill_threshold=0.4,
+        )
+        assert ovf2 == 0
+        assert resumed.to_dict() == straight.to_dict() == self._oracle(seqs)
