@@ -268,6 +268,15 @@ def run_distcount(
     if spill_dir is not None:
         if not ckpt:
             raise ValueError("spill_dir requires checkpoints (ckpt)")
+        if jax.process_count() > 1:
+            # the spill resets a GLOBAL sharded array: every process must
+            # take it on the same batch, but the trigger reads per-rank
+            # live counts, which diverge — a collective (pmax) trigger is
+            # needed before multi-host spill can be safe
+            raise ValueError(
+                "spill_dir is single-process for now (the reset must be "
+                "collective); raise --acc-capacity for multi-host runs"
+            )
         os.makedirs(spill_dir, exist_ok=True)
     spill_runs: list[str] = []
     start_batch = 0
