@@ -425,6 +425,7 @@ def _cmd_distcount(args) -> int:
         stats=stats,
         chunk_bytes=args.chunk_mb << 20 if args.chunk_mb else None,
         spill_dir=args.spill_dir,
+        spill_threshold=args.spill_threshold,
     )
     get_logger().info("stats %s", stats.to_json())
     t = local.trim()
@@ -586,6 +587,11 @@ def main(argv=None) -> int:
         help="flush live slots to sorted runs under DIR when a shard "
         "nears capacity; the result is their exact K-way merge "
         "(requires --ckpt; removes the overflow re-run failure mode)",
+    )
+    dc.add_argument(
+        "--spill-threshold", type=float, default=0.85, metavar="F",
+        help="spill when live slots exceed this fraction of capacity; "
+        "leave headroom for one checkpoint interval of new keys",
     )
     dc.add_argument("--out", default=None, help="result path stem (.rank{i}.npz)")
     dc.set_defaults(fn=_cmd_distcount)

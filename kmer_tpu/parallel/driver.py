@@ -268,15 +268,6 @@ def run_distcount(
     if spill_dir is not None:
         if not ckpt:
             raise ValueError("spill_dir requires checkpoints (ckpt)")
-        if jax.process_count() > 1:
-            # the spill resets a GLOBAL sharded array: every process must
-            # take it on the same batch, but the trigger reads per-rank
-            # live counts, which diverge — a collective (pmax) trigger is
-            # needed before multi-host spill can be safe
-            raise ValueError(
-                "spill_dir is single-process for now (the reset must be "
-                "collective); raise --acc-capacity for multi-host runs"
-            )
         os.makedirs(spill_dir, exist_ok=True)
     spill_runs: list[str] = []
     start_batch = 0
@@ -355,36 +346,51 @@ def run_distcount(
             payload = snapper.snapshot(acc) if snapper is not None else acc
             ckpt.submit(payload, done, overflow, list(spill_runs))
             log.info("rank %d checkpoint %d submitted", pid, done)
-        if (
-            spill_dir is not None
-            and spill_state["max_live"] > spill_threshold * acc_capacity
-        ):
-            # flush live slots to a sorted run and reset the accumulator
-            # (exact: per-key totals add across runs; shard hash ranges
-            # never change, so per-rank merging stays correct)
-            ckpt.close()
-            run_path = os.path.join(
-                spill_dir, f"run_rank{pid}_{len(spill_runs):04d}.npz"
-            )
-            if snapper is not None:
-                snapper.write(snapper.snapshot(acc), run_path, {
-                    "mesh_shape": list(mesh_shape),
-                })
+        if spill_dir is not None:
+            # Spill trigger.  Single-process: per-shard live counts from
+            # the last completed checkpoint write (skew-sensitive, no
+            # device sync).  Multi-process: the reset is COLLECTIVE —
+            # every rank must spill at the same batch — so the trigger
+            # is the replicated global n_unique (identical on all ranks
+            # by construction), evaluated only at checkpoint boundaries.
+            if jax.process_count() == 1:
+                do_spill = (
+                    spill_state["max_live"] > spill_threshold * acc_capacity
+                )
             else:
-                save_wide(local_wide(acc), run_path, {
-                    "mesh_shape": list(mesh_shape),
-                    "process_count": jax.process_count(),
-                })
-            spill_runs.append(run_path)
-            acc = empty_sharded_acc(mesh, acc_capacity)
-            spill_state["max_live"] = 0
-            if snapper is not None:
-                snapper.last_max_live = 0
-            log.info("rank %d spilled run %d at batch %d", pid,
-                     len(spill_runs) - 1, done)
-            # persist the run list + fresh accumulator immediately
-            payload = snapper.snapshot(acc) if snapper is not None else acc
-            ckpt.submit(payload, done, overflow, list(spill_runs))
+                do_spill = done % ckpt_every == 0 and int(
+                    acc.n_unique
+                ) > spill_threshold * acc_capacity * int(np.prod(mesh_shape))
+            if do_spill:
+                # flush live slots to a sorted run and reset the
+                # accumulator (exact: per-key totals add across runs;
+                # shard hash ranges never change, so per-rank merging
+                # stays correct)
+                ckpt.close()
+                run_path = os.path.join(
+                    spill_dir, f"run_rank{pid}_{len(spill_runs):04d}.npz"
+                )
+                if snapper is not None:
+                    snapper.write(snapper.snapshot(acc), run_path, {
+                        "mesh_shape": list(mesh_shape),
+                    })
+                else:
+                    save_wide(local_wide(acc), run_path, {
+                        "mesh_shape": list(mesh_shape),
+                        "process_count": jax.process_count(),
+                    })
+                spill_runs.append(run_path)
+                acc = empty_sharded_acc(mesh, acc_capacity)
+                spill_state["max_live"] = 0
+                if snapper is not None:
+                    snapper.last_max_live = 0
+                log.info("rank %d spilled run %d at batch %d", pid,
+                         len(spill_runs) - 1, done)
+                # persist the run list + fresh accumulator immediately
+                payload = (
+                    snapper.snapshot(acc) if snapper is not None else acc
+                )
+                ckpt.submit(payload, done, overflow, list(spill_runs))
     if ckpt is not None:
         ckpt.close()
     if done == start_batch and start_batch == 0:

@@ -295,3 +295,56 @@ class TestDriverSpill:
         )
         assert ovf2 == 0
         assert resumed.to_dict() == straight.to_dict() == self._oracle(seqs)
+
+    def test_two_ranks_spill_collective(self, tmp_path):
+        """Multi-process spill: the trigger is the replicated global
+        n_unique, so both ranks reset on the same batch; per-rank runs
+        merge exactly and the union matches the oracle."""
+        rng = np.random.default_rng(11)
+        shard0 = _rand_seqs(100, rng, lo=60, hi=140)
+        shard1 = _rand_seqs(100, rng, lo=60, hi=140)
+        _write_fasta(tmp_path / "s0.fasta", shard0)
+        _write_fasta(tmp_path / "s1.fasta", shard1)
+        port = _free_port()
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["KMER_TPU_FORCE_CPU"] = "1"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        procs = []
+        for pid in (0, 1):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "kmer_tpu", "distcount",
+                 "--input", str(tmp_path / f"s{pid}.fasta"),
+                 "-k", "8", "--batch", "2", "--width", "256",
+                 "--acc-capacity", "768",
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", "2", "--process-id", str(pid),
+                 "--ckpt", str(tmp_path / "ck"), "--ckpt-every", "1",
+                 "--spill-dir", str(tmp_path / f"runs{pid}"),
+                 "--spill-threshold", "0.3",
+                 "--out", str(tmp_path / "result")],
+                cwd="/root/repo", env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        assert all(o["overflow"] == 0 for o in outs)
+        # both ranks actually spilled (collective trigger fired)
+        for pid in (0, 1):
+            rdir = tmp_path / f"runs{pid}"
+            assert rdir.exists() and any(
+                f.startswith("run_") for f in os.listdir(rdir)
+            ), pid
+
+        merged = merge_rank_files([
+            str(tmp_path / "result.rank0.npz"),
+            str(tmp_path / "result.rank1.npz"),
+        ])
+        want = Counter()
+        for s in shard0 + shard1:
+            want.update(_windows(s, 8))
+        assert merged.to_dict() == dict(want)
