@@ -197,17 +197,20 @@ def run_distcount(
     or ``slack`` (exactness contract of stream_sharded_count).
 
     ``spill_dir`` removes the accumulator-capacity half of that failure
-    mode: when any shard's live count (observed by the last completed
-    checkpoint write, so no extra device sync) crosses
-    ``spill_threshold * acc_capacity``, the rank's live slots flush to a
+    mode: when live slots near capacity, each rank flushes them to a
     sorted run file, the device accumulator resets, and the final table
     is the exact K-way merge of all runs plus the live accumulator
     (ops/wide.merge_runs; per-rank merging is correct because shards own
-    disjoint hash ranges).  Requires checkpoints (``ckpt``), whose
-    metadata carries the run list across resumes.  Headroom note: the
-    trigger lags by up to ``ckpt_every`` batches, so the threshold must
-    leave room for that many batches of new keys; an actual overflow is
-    still counted and reported honestly.
+    disjoint hash ranges).  The trigger is per-shard live counts from
+    the last completed checkpoint write when single-process (skew-
+    sensitive, no device sync), and the replicated global ``n_unique``
+    when multi-process — the reset is collective, so all ranks must
+    decide identically at the same batch.  Requires checkpoints
+    (``ckpt``), whose metadata carries the run list across resumes.
+    Headroom note: the trigger lags by up to ``ckpt_every`` batches, so
+    ``spill_threshold`` must leave room for that many batches of new
+    keys (plus cross-shard variance when triggering globally); an actual
+    overflow is still counted and reported honestly.
     """
     from .multihost import initialize_multihost, make_pod_mesh
 
