@@ -173,26 +173,37 @@ def _cmd_count(args) -> int:
     stats = StatsCounters()
     fmt = args.format or _infer_format(args.input)
     if fmt in ("fasta", "fastq"):
-        from .streaming import count_read_stream
+        from .pipeline import count_file
 
-        result = count_read_stream(
-            _reads_file_batches(
-                args.input, fmt, args.k, batch=args.batch,
-                chunk_bytes=args.chunk_mb << 20 if args.chunk_mb else None,
-            ),
-            args.k, canonical=args.canonical, stats=stats,
+        result = count_file(
+            args.input, fmt, args.k, canonical=args.canonical,
+            batch=args.batch or None, width=getattr(args, "width", 0) or None,
+            chunk_bytes=args.chunk_mb << 20 if args.chunk_mb else None,
             capacity=args.slots,
             max_capacity=args.max_slots or None,
             spill_dir=args.spill_dir,
+            stats=stats,
+            ckpt_path=getattr(args, "ckpt", None) or None,
         )
     elif args.from_dna_column:
-        from .streaming import count_read_stream
+        from .pipeline import column_batch_feed, count_batches_pipelined
+
+        from .pipeline import initial_capacity
 
         table = KmerTable.from_csv(args.input)
         seqs = [str(d) for d in table.dna]
-        result = count_read_stream(
-            _dna_column_batches(seqs, args.k, batch=args.batch),
-            args.k, canonical=args.canonical, stats=stats,
+        feed, _, _ = column_batch_feed(
+            seqs, args.k, batch=args.batch or None,
+            width=getattr(args, "width", 0) or None,
+        )
+        cap = initial_capacity(args.slots, args.k,
+                               sum(len(s) for s in seqs))
+        if args.max_slots:
+            cap = min(cap, args.max_slots)
+        result = count_batches_pipelined(
+            feed, args.k, canonical=args.canonical, stats=stats,
+            capacity=cap, max_capacity=args.max_slots or None,
+            spill_dir=args.spill_dir,
         )
     else:
         table = KmerTable.from_csv(args.input)
@@ -500,21 +511,33 @@ def main(argv=None) -> int:
     c.add_argument("--canonical", action="store_true")
     c.add_argument("--top", type=int, default=0)
     c.add_argument(
-        "--batch", type=int, default=32768,
-        help="reads per device step; larger batches mean fewer "
-        "accumulator merges (each merge re-sorts the accumulator)",
+        "--batch", type=int, default=0,
+        help="reads per device step (0 = auto: sized so a step carries "
+        "~64M window slots, the probe_r4d-measured knee)",
+    )
+    c.add_argument(
+        "--width", type=int, default=0,
+        help="fixed row width in bases (0 = auto from the first ingest "
+        "chunk's read lengths; longer reads split exactly)",
     )
     c.add_argument("--save", default=None, help="save table snapshot (.npz)")
+    c.add_argument(
+        "--ckpt", default=None, metavar="PATH",
+        help="checkpoint path: periodically snapshot confirmed progress "
+        "so a killed count resumes instead of restarting",
+    )
     c.add_argument(
         "--chunk-mb", type=int, default=0, metavar="MB",
         help="ingest window size in MiB (default 256); files stream "
         "through record-aligned windows, never fully in RAM",
     )
     c.add_argument(
-        "--slots", type=int, default=1 << 16, metavar="N",
-        help="initial accumulator capacity in slots; it grows "
-        "geometrically (one recompile per doubling), so seeding near "
-        "the expected distinct-key count skips the growth ladder",
+        "--slots", type=int, default=1 << 24, metavar="N",
+        help="initial accumulator capacity in slots (default 16M ~ "
+        "320 MB HBM); it grows geometrically (one recompile per "
+        "doubling) and overflowing batches replay exactly, so any "
+        "value is correct — near the expected distinct-key count is "
+        "fastest",
     )
     c.add_argument(
         "--max-slots", type=int, default=0, metavar="N",

@@ -69,6 +69,12 @@ def _load():
         lib.kn_fasta_boundary_at.argtypes = bnd_argtypes
         lib.kn_fastq_boundary_at.restype = ctypes.c_longlong
         lib.kn_fastq_boundary_at.argtypes = bnd_argtypes
+        lib.kn_rows_packed.restype = ctypes.c_longlong
+        lib.kn_rows_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int]
         _lib = lib
     except Exception:
         _lib = None
@@ -128,6 +134,49 @@ def pack2bit_rows(codes: np.ndarray) -> np.ndarray:
         .astype(np.uint32)
         .sum(axis=2, dtype=np.uint32)
     )
+
+
+def rows_packed(codes: np.ndarray, offsets: np.ndarray, width: int,
+                k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(code stream, offsets) -> fixed-width 2-bit-packed device wire:
+    (words [rows, width/16] uint32, lengths [rows] uint16).
+
+    One native pass: identical to driver.split_long_reads followed by
+    pack2bit_rows, without the [rows, width] byte matrix in between
+    (probe_r5a: that assembly + numpy pack was the pipelined feed's
+    bottleneck at 2x the parse cost).  Reads longer than ``width``
+    split into pieces sharing a k-1 base overlap; ``width`` must be a
+    multiple of 16 and exceed k-1.
+    """
+    if width % 16 or width <= k - 1:
+        raise ValueError(f"width {width} must be a multiple of 16 > k-1")
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n_reads = offsets.size - 1
+    lens = np.diff(offsets)
+    step = width - (k - 1)
+    extra = np.maximum(lens - width, 0)
+    total = int((1 + -(-extra // step)).sum()) if n_reads else 0
+    nw = width // 16
+    words = np.empty((total, nw), np.uint32)
+    out_lens = np.empty(total, np.uint16)
+    lib = _load()
+    if lib is None:
+        from .parallel.driver import split_long_reads
+
+        rows, ls = split_long_reads(codes, offsets, width, k)
+        return pack2bit_rows(rows), ls.astype(np.uint16)
+    r = lib.kn_rows_packed(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n_reads, width, k,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _parse_threads(),
+    )
+    if r != total:
+        raise RuntimeError(f"kn_rows_packed wrote {r} rows, expected {total}")
+    return words, out_lens
 
 
 def device_unpack_rows(words, length: int):

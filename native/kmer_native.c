@@ -461,6 +461,130 @@ static long long kn_reads_encode_mt(const char *buf, long long n,
     return total;
 }
 
+/* ---------------- fixed-width packed row assembly -----------------
+ *
+ * Turns an encoded (code stream, per-read offsets) pair into the
+ * device wire format in ONE pass: fixed-width rows of 2-bit-packed
+ * uint32 words (16 bases/word, left-aligned) + uint16 row lengths.
+ * Reads longer than `width` split into pieces sharing a k-1 base
+ * overlap — semantics identical to kmer_tpu.parallel.driver.
+ * split_long_reads followed by native.pack2bit_rows (the numpy
+ * fallback), but without materializing the [rows, width] byte matrix
+ * (probe_r5a measured that assembly + numpy packing at 2x the parse
+ * cost — it was the feed bottleneck of the pipelined count).
+ */
+
+typedef struct {
+    const uint8_t *codes;
+    const long long *offsets;
+    long long r0, r1;         /* read range */
+    long long row_base;       /* first output row of read r0 */
+    uint32_t *words;
+    uint16_t *lens;
+    long long width, k, nw;
+} kn_rows_job;
+
+static void *kn_rows_worker(void *arg)
+{
+    kn_rows_job *j = (kn_rows_job *)arg;
+    long long step = j->width - (j->k - 1);
+    long long row = j->row_base;
+    for (long long r = j->r0; r < j->r1; r++) {
+        long long off = j->offsets[r];
+        long long len = j->offsets[r + 1] - off;
+        long long npieces = 1;
+        if (len > j->width)
+            npieces += (len - j->width + step - 1) / step;
+        for (long long p = 0; p < npieces; p++) {
+            const uint8_t *c = j->codes + off + p * step;
+            long long plen = len - p * step;
+            if (plen > j->width)
+                plen = j->width;
+            if (plen < 0)
+                plen = 0;
+            uint32_t *w = j->words + row * j->nw;
+            long long full = plen / 16, wi;
+            for (wi = 0; wi < full; wi++) {
+                const uint8_t *cc = c + wi * 16;
+                uint32_t acc = 0;
+                for (int b = 0; b < 16; b++)
+                    acc |= (uint32_t)cc[b] << (30 - 2 * b);
+                w[wi] = acc;
+            }
+            if (full < j->nw) {
+                const uint8_t *cc = c + full * 16;
+                long long rem = plen - full * 16;
+                uint32_t acc = 0;
+                for (long long b = 0; b < rem; b++)
+                    acc |= (uint32_t)cc[b] << (30 - 2 * b);
+                w[full] = acc;
+                for (wi = full + 1; wi < j->nw; wi++)
+                    w[wi] = 0;
+            }
+            j->lens[row] = (uint16_t)plen;
+            row++;
+        }
+    }
+    return NULL;
+}
+
+/*
+ * codes/offsets: encoded reads (offsets has n_reads+1 entries).
+ * width: row width in bases (multiple of 16, > k-1).
+ * words: output [total_rows, width/16]; lens: output [total_rows].
+ * Caller sizes total_rows with the same piece formula (split_long_reads).
+ * Returns total rows written, or -1 on bad arguments.
+ */
+long long kn_rows_packed(const uint8_t *codes, const long long *offsets,
+                         long long n_reads, long long width, long long k,
+                         uint32_t *words, uint16_t *lens, int nthreads)
+{
+    if (width <= k - 1 || (width & 15) || k <= 0)
+        return -1;
+    long long step = width - (k - 1);
+    if (nthreads > 16)
+        nthreads = 16;
+    if (nthreads < 1)
+        nthreads = 1;
+    kn_rows_job jobs[16];
+    pthread_t tids[16];
+    int T = nthreads;
+    if ((long long)T > n_reads)
+        T = n_reads > 0 ? (int)n_reads : 1;
+    /* contiguous read ranges; row bases via an arithmetic prefix pass */
+    long long total = 0, t_next = 0;
+    int t = 0;
+    for (t = 0; t < T; t++) {
+        jobs[t].r0 = n_reads * t / T;
+        jobs[t].r1 = n_reads * (t + 1) / T;
+    }
+    for (t = 0; t < T; t++) {
+        jobs[t].row_base = total;
+        for (long long r = jobs[t].r0; r < jobs[t].r1; r++) {
+            long long len = offsets[r + 1] - offsets[r];
+            total += 1 + (len > width ? (len - width + step - 1) / step : 0);
+        }
+    }
+    (void)t_next;
+    for (t = 0; t < T; t++) {
+        jobs[t].codes = codes;
+        jobs[t].offsets = offsets;
+        jobs[t].words = words;
+        jobs[t].lens = lens;
+        jobs[t].width = width;
+        jobs[t].k = k;
+        jobs[t].nw = width / 16;
+        if (T > 1)
+            pthread_create(&tids[t], NULL, kn_rows_worker, &jobs[t]);
+        else
+            kn_rows_worker(&jobs[t]);
+    }
+    if (T > 1)
+        for (t = 0; t < T; t++)
+            pthread_join(tids[t], NULL);
+    return total;
+}
+
 /*
  * Exported record-boundary scanners for chunked (out-of-core) ingest:
  * return the byte offset of the first validated record start at or
