@@ -93,7 +93,7 @@ class CountTable:
         return int(self.n_unique)
 
 
-def _segment_counts(new, weights=None):
+def _segment_counts(new, weights=None, bounded=False):
     """Per-segment totals, positionally (scatter-free, gather-free).
 
     new: [n] bool, True at each segment head (new[0] must be True).
@@ -126,10 +126,23 @@ def _segment_counts(new, weights=None):
         sufmin = jax.lax.cummin(b, reverse=True)
         nxt = jnp.concatenate([sufmin[1:], jnp.full((1,), n, jnp.int32)])
         return jnp.where(new, nxt - pos, 0).astype(jnp.int32)
+    if bounded:
+        # caller guarantees the CALL-TOTAL weight fits int32 (e.g. unit/
+        # validity weights with n < 2^31): the cumsum is then monotone,
+        # so the previous tail's csum rides a plain cummax — no nibble
+        # carry, no 2^28 row limit (a >=268M-row GROUP BY over a kmer
+        # column is exactly this shape)
+        csum = jnp.cumsum(weights.astype(jnp.int32))
+        tail = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+        key = jnp.where(tail, csum, 0)
+        prev = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jax.lax.cummax(key)[:-1]]
+        )
+        return jnp.where(tail, csum - prev, 0).astype(jnp.int32)
     if n >= 1 << 28:
         # (pos+1) << 4 must fit uint32; no engine path builds a single
-        # weighted GROUP BY this large (merges are 2*capacity sized) —
-        # split the input and merge_tables the halves instead
+        # UNBOUNDED weighted GROUP BY this large (merges are 2*capacity
+        # sized) — split the input and merge_tables the halves instead
         raise ValueError(
             f"weighted segment counts support < 2^28 rows, got {n}; "
             "split the input and merge the partial tables"
@@ -368,11 +381,17 @@ def count_windows(hi, lo, valid, k: int) -> CountTable:
     return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
 
 
-def count_packed(hi, lo, length, weights) -> CountTable:
+def count_packed(hi, lo, length, weights,
+                 bounded_weights: bool = False) -> CountTable:
     """Weighted GROUP BY over (hi, lo, length) keys (general/merge path).
 
     Slots with weight 0 are treated as absent.  Jit-compatible; result
     capacity equals input size; groups ascend in key order.
+
+    ``bounded_weights=True`` asserts the total weight of the call fits
+    int32 (true for unit/validity weights over < 2^31 rows): the cheaper
+    monotone-cummax segment totals apply and the 2^28-row wrap-safety
+    limit does not (ADVICE r4: count_column over a >=268M-row column).
     """
     hi = jnp.asarray(hi, jnp.uint32).ravel()
     lo = jnp.asarray(lo, jnp.uint32).ravel()
@@ -388,7 +407,7 @@ def count_packed(hi, lo, length, weights) -> CountTable:
         (hi, lo, length, weights), num_keys=3, is_stable=False
     )
     new = _boundaries(shi, slo, sln)
-    counts = _segment_counts(new, sw)
+    counts = _segment_counts(new, sw, bounded=bounded_weights)
     counts = jnp.where(sln == jnp.int32(SENTINEL_LEN), 0, counts)
     n_unique = jnp.sum((counts > 0).astype(jnp.int32))
     return CountTable(hi=shi, lo=slo, length=sln, counts=counts, n_unique=n_unique)
@@ -401,7 +420,9 @@ def count_column(col: PackedKmers, valid=None) -> CountTable:
         if valid is None
         else jnp.asarray(valid, jnp.int32)
     )
-    return count_packed(col.hi, col.lo, col.length, w)
+    # unit/validity weights: total <= n < 2^31, so the bounded fast path
+    # applies at any column size
+    return count_packed(col.hi, col.lo, col.length, w, bounded_weights=True)
 
 
 def merge_tables(a: CountTable, b: CountTable) -> CountTable:

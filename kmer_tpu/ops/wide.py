@@ -638,6 +638,12 @@ class WideAccumulator:
         self._cap = 1 << max(3, int(capacity - 1).bit_length())
         self._acc: WideCounts | None = None
         self._bound = 0  # upper bound on current n_unique (host-side)
+        if max_capacity is not None:
+            # round DOWN to a power of two: growth always doubles from a
+            # power-of-two capacity, so a non-pow2 budget would otherwise
+            # be overshot by the post-spill growth loop (the budget is a
+            # device-HBM bound — exceeding it defeats the parameter)
+            max_capacity = 1 << (int(max_capacity).bit_length() - 1)
         self._max_cap = max_capacity
         if max_capacity is not None and self._cap > max_capacity:
             raise ValueError(

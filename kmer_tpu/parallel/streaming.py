@@ -256,22 +256,45 @@ def save_wide(acc: WideCounts, path: str, meta: dict | None = None) -> None:
         live2 = ((acc.counts_hi > 0) | (acc.counts_lo > 0)).reshape(
             n_parts, shard_cap
         )
-        lps = np.asarray(
-            jax.device_get(jnp.sum(live2, axis=1, dtype=jnp.int32)), np.int64
-        )
-        mx = int(lps.max()) if lps.size else 0
-        keep = np.arange(mx, dtype=np.int64)[None, :] < lps[:, None]
+        lps_dev = jnp.sum(live2, axis=1, dtype=jnp.int32)
+        # verify the front-compaction invariant ON DEVICE before slicing
+        # (ADVICE r4): each shard's live mask must equal "first lps slots
+        # live, rest dead" — an accumulator that violates it (e.g. one
+        # assembled by an external caller) would otherwise be silently
+        # truncated into a corrupt checkpoint
+        front = (jnp.arange(shard_cap, dtype=jnp.int32)[None, :]
+                 < lps_dev[:, None])
+        ok_dev, lps_host = jax.device_get(
+            (jnp.all(live2 == front), lps_dev))  # one transfer round-trip
+        compact_ok = bool(ok_dev)
+        lps = np.asarray(lps_host, np.int64)
+        if compact_ok:
+            mx = int(lps.max()) if lps.size else 0
+            keep = np.arange(mx, dtype=np.int64)[None, :] < lps[:, None]
 
-        def slab(x, dt):
-            sl = jnp.reshape(x, (n_parts, shard_cap))[:, :mx]
-            return np.asarray(jax.device_get(sl), dt)[keep]
+            def slab(x, dt):
+                sl = jnp.reshape(x, (n_parts, shard_cap))[:, :mx]
+                return np.asarray(jax.device_get(sl), dt)[keep]
 
-        hi = slab(acc.hi, np.uint32)
-        lo = slab(acc.lo, np.uint32)
-        length = slab(acc.length, np.int32)
-        ch = slab(acc.counts_hi, np.int32)
-        cl = slab(acc.counts_lo, np.uint32)
-        live_per_shard = lps
+            hi = slab(acc.hi, np.uint32)
+            lo = slab(acc.lo, np.uint32)
+            length = slab(acc.length, np.int32)
+            ch = slab(acc.counts_hi, np.int32)
+            cl = slab(acc.counts_lo, np.uint32)
+            live_per_shard = lps
+        else:
+            # full-fidelity fallback: host-mask the whole capacity
+            hi = np.asarray(jax.device_get(acc.hi), np.uint32)
+            lo = np.asarray(jax.device_get(acc.lo), np.uint32)
+            length = np.asarray(jax.device_get(acc.length), np.int32)
+            ch = np.asarray(jax.device_get(acc.counts_hi), np.int32)
+            cl = np.asarray(jax.device_get(acc.counts_lo), np.uint32)
+            live = ((ch > 0) | (cl > 0)).reshape(n_parts, shard_cap)
+            keep = live.reshape(-1)
+            hi, lo, length, ch, cl = (
+                hi[keep], lo[keep], length[keep], ch[keep], cl[keep]
+            )
+            live_per_shard = live.sum(axis=1).astype(np.int64)
     else:
         hi = np.asarray(acc.hi, np.uint32)
         lo = np.asarray(acc.lo, np.uint32)

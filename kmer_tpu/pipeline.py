@@ -54,12 +54,21 @@ _S_NEED = 1  # max merged-distinct observed (sizes the growth target)
 _S_NOW = 2  # accumulator n_unique after this step
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _make_fold_step(k: int, canonical: bool, width: int):
     """jit: (acc, state, words [B, W/16] u32, lengths [B]) -> (acc', state').
 
     Reverting on overflow keeps every not-folded batch replayable: the
     output accumulator either contains the batch exactly once or is the
     input accumulator unchanged, and state[_S_FAIL] says which.
+
+    Cached by (k, canonical, width): a fresh ``jax.jit`` object per
+    call would recompile the ~35s step graph on EVERY count_file run
+    (probe_r5b caught exactly this — the "warm" run was as slow as the
+    cold one).
     """
     from .native import device_unpack_rows
     from .ops.extract import canonicalize as canon
@@ -549,24 +558,44 @@ def auto_batch(width: int, k: int, target_windows: int = 1 << 26) -> int:
 
 def file_batch_feed(path: str, fmt: str, k: int, batch: int | None,
                     width: int | None, chunk_bytes: int | None = None
-                    ) -> tuple[Iterator, int, int]:
+                    ) -> tuple[Iterator, int, int, int | None]:
     """Fixed-shape feed for a FASTA/FASTQ file with auto batch/width.
 
-    Returns (batch iterator, batch, width).  Width is sampled from the
-    first ingest chunk when not given; reads longer than it split
-    exactly (driver.split_long_reads), shorter ones pad.
+    Returns (batch iterator, batch, width, est_windows).  Width is
+    sampled from the first ingest chunk when not given; reads longer
+    than it split exactly (driver.split_long_reads), shorter ones pad.
+    ``est_windows`` extrapolates the probe chunk's window count to the
+    whole file (None when no probe ran) — the single-shot routing
+    signal.
     """
     from .io.ingest import DEFAULT_CHUNK_BYTES, iter_encoded_chunks
     from .native import rows_packed
 
     cb = chunk_bytes or DEFAULT_CHUNK_BYTES
-    if not width or not batch:
-        probed = None
-        for codes, offs in iter_encoded_chunks(path, fmt, min(cb, 16 << 20)):
-            probed = auto_width(np.diff(offs))
-            break
-        width = width or (probed if probed else 256)
-        batch = batch or auto_batch(width, k)
+    est_windows = None
+    probe_bytes = min(cb, 16 << 20)
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        fsize = None
+    for codes, offs in iter_encoded_chunks(path, fmt, probe_bytes):
+        lens = np.diff(offs)
+        if not width:
+            width = auto_width(lens)
+        if fsize is not None:
+            wins = int(np.maximum(lens - (k - 1), 0).sum())
+            scale = max(fsize / min(probe_bytes, fsize), 1.0)
+            est_windows = int(wins * scale)
+        break
+    width = width or 256
+    if not batch:
+        batch = auto_batch(width, k)
+        if est_windows is not None:
+            # small files must not pay a full-size batch of padding: a
+            # 600-read file in one 512k-row batch would sort 71M mostly
+            # -invalid window slots
+            need_rows = est_windows // max(width - k + 1, 1) + 1
+            batch = min(batch, max(4096, 1 << int(need_rows).bit_length()))
     width = -(-width // 16) * 16  # wire format packs 16 bases per word
     while width <= k - 1:
         width += 16
@@ -602,7 +631,7 @@ def file_batch_feed(path: str, fmt: str, k: int, batch: int | None,
                     l = np.concatenate([l, np.zeros(pad, l.dtype)])
                 yield w, l
 
-    return gen(), batch, width
+    return gen(), batch, width, est_windows
 
 
 def initial_capacity(capacity: int, k: int, est_windows: int) -> int:
@@ -652,6 +681,74 @@ def column_batch_feed(seqs, k: int, batch: int | None = None,
     return gen(), batch, width
 
 
+# single-shot ceiling in window SLOTS: buffers + count-sort operands at
+# this size are ~2.5 GB HBM transient — the headline engine's shape
+# (PERF.md §1 runs it at 136M)
+_SINGLE_SHOT_MAX = 140 * 1000 * 1000
+
+
+@functools.lru_cache(maxsize=64)
+def _make_place_step(k: int, canonical: bool, width: int):
+    """jit: extract one packed batch's windows into flat buffers at a
+    dynamic offset (the single-shot assembly step)."""
+    from .native import device_unpack_rows
+    from .ops.extract import canonicalize as canon
+    from .ops.extract import extract_windows_batch
+
+    def place(bh, bl, bv, words, lengths, start):
+        codes = device_unpack_rows(words, width)
+        wins, valid = extract_windows_batch(
+            codes, jnp.asarray(lengths).astype(jnp.int32), k)
+        hi, lo = wins.hi, wins.lo
+        if canonical:
+            hi, lo = canon(hi, lo, k)
+        return (
+            jax.lax.dynamic_update_slice(bh, hi.ravel(), (start,)),
+            jax.lax.dynamic_update_slice(bl, lo.ravel(), (start,)),
+            jax.lax.dynamic_update_slice(bv, valid.ravel(), (start,)),
+        )
+
+    return jax.jit(place)
+
+
+_count_windows_jit = None
+
+
+def _count_single_shot(feed, k: int, canonical: bool, batch: int,
+                       width: int, stats: StatsCounters | None = None):
+    """One-count route for files whose windows fit a single device
+    buffer: upload packed batches as they arrive (overlapping the
+    parse), extract+place each into flat window buffers, then run ONE
+    count — the headline engine's shape (255M k-mers/s on v5e), with
+    none of the per-batch accumulator fold's merge sorts.  Returns a
+    CountTable (int32 counts are exact: total windows < 2^31 here by
+    construction)."""
+    global _count_windows_jit
+    from .ops.count import count_windows
+
+    if _count_windows_jit is None:
+        _count_windows_jit = jax.jit(count_windows,
+                                     static_argnames=("k",))
+    dev = []
+    for words, lengths in feed:
+        dev.append((jax.device_put(words), jax.device_put(lengths)))
+        if stats is not None:
+            ls = np.asarray(lengths, np.int64)
+            stats.record_batch(int((ls > 0).sum()), int(ls.sum()),
+                               int(np.maximum(ls - (k - 1), 0).sum()), 0)
+    if not dev:
+        raise ValueError("empty batch stream")
+    spb = batch * (width - k + 1)
+    cap = len(dev) * spb
+    place = _make_place_step(k, canonical, width)
+    bh = jnp.zeros((cap,), jnp.uint32)
+    bl = jnp.zeros((cap,), jnp.uint32)
+    bv = jnp.zeros((cap,), bool)
+    for i, (dw, dl) in enumerate(dev):
+        bh, bl, bv = place(bh, bl, bv, dw, dl, jnp.int32(i * spb))
+    return _count_windows_jit(bh, bl, bv, k)
+
+
 def count_file(
     path: str,
     fmt: str,
@@ -666,16 +763,35 @@ def count_file(
     stats: StatsCounters | None = None,
     ckpt_path: str | None = None,
     ckpt_every_s: float = 60.0,
-) -> WideCounts:
+    single_shot: bool | None = None,
+):
     """Count a FASTA/FASTQ file end to end through the pipelined engine.
 
     The operational equivalent of the reference's COPY + GROUP BY as one
     integrated path (kmer-tests.sql:1229-1233, :1205-1214): bounded-RSS
-    ingest windows, background parse/pack, packed uploads, fused fold
-    steps, optional spill and checkpoint/resume.
+    ingest windows, background parse/pack, packed uploads, and either
+
+    * the **single-shot** route (small files: every window fits one
+      device buffer) — one global count, returns a CountTable; or
+    * the **streaming fold** route — fused per-batch folds into a
+      64-bit accumulator with growth/spill/checkpoint, returns a
+      WideCounts.
+
+    ``single_shot=None`` routes automatically by an extrapolated window
+    estimate; checkpointing or an explicit device budget always takes
+    the streaming route.
     """
-    feed, batch, width = file_batch_feed(path, fmt, k, batch, width,
-                                         chunk_bytes)
+    feed, batch, width, est_windows = file_batch_feed(
+        path, fmt, k, batch, width, chunk_bytes)
+    if single_shot is None:
+        single_shot = (
+            est_windows is not None
+            and est_windows * 1.2 <= _SINGLE_SHOT_MAX
+            and batch * (width - k + 1) <= _SINGLE_SHOT_MAX
+            and not ckpt_path and not spill_dir and not max_capacity
+        )
+    if single_shot:
+        return _count_single_shot(feed, k, canonical, batch, width, stats)
     try:
         fsize = os.path.getsize(path)
         # bases <= file bytes (FASTA ~1x, FASTQ ~0.45x); windows <= bases

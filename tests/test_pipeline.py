@@ -107,12 +107,33 @@ def _write_fastq(path, rng, n_reads, k, lmin=10, lmax=120):
     return oracle
 
 
-def test_count_file_exact(tmp_path):
+def test_count_file_exact_single_shot(tmp_path):
     rng = np.random.default_rng(4)
     path = str(tmp_path / "r.fastq")
     oracle = _write_fastq(path, rng, 600, 7)
-    res = count_file(path, "fastq", 7, batch=128, capacity=1 << 12)
+    res = count_file(path, "fastq", 7, batch=128, capacity=1 << 12,
+                     single_shot=True)
     assert res.to_dict() == dict(oracle)
+
+
+def test_count_file_exact_streaming(tmp_path):
+    rng = np.random.default_rng(4)
+    path = str(tmp_path / "r.fastq")
+    oracle = _write_fastq(path, rng, 600, 7)
+    res = count_file(path, "fastq", 7, batch=128, capacity=1 << 12,
+                     single_shot=False)
+    assert res.to_dict() == dict(oracle)
+
+
+def test_count_file_routes_match(tmp_path):
+    """Auto routing picks single-shot for small files; both routes must
+    agree exactly."""
+    rng = np.random.default_rng(10)
+    path = str(tmp_path / "r.fastq")
+    oracle = _write_fastq(path, rng, 400, 9)
+    auto = count_file(path, "fastq", 9, batch=64)
+    stream = count_file(path, "fastq", 9, batch=64, single_shot=False)
+    assert auto.to_dict() == dict(oracle) == stream.to_dict()
 
 
 def test_count_file_long_reads_split(tmp_path):
@@ -133,11 +154,13 @@ def test_count_file_resume(tmp_path):
     oracle = _write_fastq(path, rng, 800, 7)
     ck = str(tmp_path / "ck.npz")
 
-    # straight run (no checkpoint) = truth
-    straight = count_file(path, "fastq", 7, batch=64, capacity=1 << 12)
+    # straight run (no checkpoint) = truth; pin the streaming route so
+    # the WideCounts trims compare like-for-like
+    straight = count_file(path, "fastq", 7, batch=64, capacity=1 << 12,
+                          single_shot=False)
 
     # partial run: feed only the first 5 batches, checkpoint eagerly
-    feed, batch, width = file_batch_feed(path, "fastq", 7, 64, None)
+    feed, batch, width, _ = file_batch_feed(path, "fastq", 7, 64, None)
     partial = [b for _, b in zip(range(5), feed)]
     count_batches_pipelined(iter(partial), 7, capacity=1 << 12,
                             ckpt=PipelineCheckpoint(ck), ckpt_every_s=0.0,
