@@ -647,10 +647,15 @@ def main(argv=None) -> int:
     dc.add_argument("--coordinator", default=None, metavar="HOST:PORT")
     dc.add_argument("--num-processes", type=int, default=None)
     dc.add_argument("--process-id", type=int, default=None)
-    dc.add_argument("--batch", type=int, default=4096,
-                    help="per-host reads per step (global = batch x hosts)")
-    dc.add_argument("--width", type=int, default=256,
-                    help="fixed row width; longer reads split exactly")
+    dc.add_argument("--batch", type=int, default=0,
+                    help="per-host reads per step (global = batch x hosts; "
+                    "0 = auto-sized to the measured ~64M-window knee when "
+                    "single-process, 65536 multi-process — ranks must "
+                    "agree on shapes, so multi-host auto stays fixed)")
+    dc.add_argument("--width", type=int, default=0,
+                    help="fixed row width; longer reads split exactly "
+                    "(0 = auto from observed read lengths when "
+                    "single-process, 256 multi-process)")
     dc.add_argument("--acc-capacity", type=int, default=1 << 16,
                     help="per-device accumulator slots")
     dc.add_argument("--chunk-mb", type=int, default=0, metavar="MB",

@@ -235,7 +235,29 @@ def run_distcount(
         pid, jax.process_count(), mesh_shape, input_path, fmt,
     )
 
-    step = make_sharded_stream_step(mesh, k, canonical, acc_capacity, slack)
+    # Feed: fixed-shape 2-bit-packed batches assembled by the native
+    # one-pass parser (pipeline.file_batch_feed), prefetched on a
+    # producer thread; the step unpacks on device.  4x less host-link
+    # traffic than the r4 raw-codes feed and no [B, W] byte matrix on
+    # the host (PERF.md §8).  Auto batch/width probe the file — only
+    # when single-process: each rank probes its OWN shard, and ranks
+    # must agree on the collective step's shapes.
+    from ..pipeline import _Feeder, file_batch_feed
+    from .mesh import AXIS_SEQ as _AXIS_SEQ  # noqa: F401  (doc pointer)
+
+    dp_, sp_ = mesh_shape
+    if jax.process_count() > 1:
+        batch = batch or 65536
+        width = width or 256
+    feed, batch, width, _est = file_batch_feed(
+        input_path, fmt, k, batch or None, width or None, chunk_bytes,
+        width_multiple=16 * sp_,
+        target_windows=(1 << 26) // jax.process_count(),
+    )
+    log.info("distcount feed: batch=%d width=%d (packed wire)", batch, width)
+
+    step = make_sharded_stream_step(mesh, k, canonical, acc_capacity, slack,
+                                    packed_width=width)
     from .streaming import _StreamSnapshotter, empty_sharded_acc
 
     # warm BOTH jit variants (fresh-zeros overflow AND the committed
@@ -243,8 +265,8 @@ def run_distcount(
     # zero batch — without this, step 2 of the real stream pays the
     # second ~35s compile in-loop (measured for stream_sharded_count,
     # PERF.md §7 item 4; the driver loop has the same shape)
-    zc = np.zeros((batch, width), np.uint8)
-    zl = np.zeros((batch,), np.int32)
+    zc = np.zeros((batch, width // 16), np.uint32)
+    zl = np.zeros((batch,), np.uint16)
     gzc, gzl = put_global_batch(mesh, zc, zl)
     wacc = empty_sharded_acc(mesh, acc_capacity)
     wacc, wovf = step(wacc, jnp.zeros((), jnp.int32), gzc, gzl)
@@ -398,12 +420,19 @@ def run_distcount(
     # weak #4)
     nu_hist: dict[int, object] = {}
     inflight: deque = deque()
-    for i, (codes, lengths) in enumerate(
-        file_batches_fixed(input_path, fmt, k, batch, width,
-                           chunk_bytes=chunk_bytes)
-    ):
-        if i < start_batch:
-            continue
+    feeder = _Feeder(feed, start_batch, depth=3)
+    feeder.start()
+
+    def _feed_items():
+        while True:
+            item = feeder.q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    for i, codes, lengths in _feed_items():
         gc, gl = put_global_batch(mesh, codes, lengths)
         acc, overflow = step(acc, overflow, gc, gl)
         done = i + 1

@@ -41,7 +41,7 @@ _CKPT_VERSION = 2
 
 def make_sharded_stream_step(
     mesh, k: int, canonical: bool = False, acc_capacity: int = 1 << 16,
-    slack: float = 2.0,
+    slack: float = 2.0, packed_width: int | None = None,
 ):
     """Jitted accumulation step over a ("data", "seq") mesh.
 
@@ -52,12 +52,27 @@ def make_sharded_stream_step(
     int32 running total of (a) all_to_all bucket-capacity clips and
     (b) per-device accumulator-capacity misses.  The result is exact
     iff the final overflow is 0.
+
+    ``packed_width``: when set, batches arrive as the 2-bit packed wire
+    format — [B, packed_width/16] uint32 words (0.25 B/base over the
+    host link, 4x less than raw codes) — and unpack on device, fused
+    into the extraction.  packed_width must be a multiple of 16*seq so
+    the word axis shards cleanly.
     """
     dp, sp = mesh.devices.shape
     n_parts = dp * sp
     axes = (AXIS_DATA, AXIS_SEQ)
+    if packed_width is not None and packed_width % (16 * sp):
+        raise ValueError(
+            f"packed_width {packed_width} must be a multiple of 16*seq "
+            f"({16 * sp})")
 
     def local_step(acc: WideCounts, overflow, codes_l, lengths_l):
+        if packed_width is not None:
+            from ..native import device_unpack_rows
+
+            codes_l = device_unpack_rows(codes_l, packed_width // sp)
+            lengths_l = jnp.asarray(lengths_l).astype(jnp.int32)
         hi, lo, valid = _extract_with_halo(codes_l, lengths_l, k, sp, canonical)
         if n_parts == 1:
             # single device owns the whole hash range: no bucket-route

@@ -557,7 +557,9 @@ def auto_batch(width: int, k: int, target_windows: int = 1 << 26) -> int:
 
 
 def file_batch_feed(path: str, fmt: str, k: int, batch: int | None,
-                    width: int | None, chunk_bytes: int | None = None
+                    width: int | None, chunk_bytes: int | None = None,
+                    width_multiple: int = 16,
+                    target_windows: int = 1 << 26,
                     ) -> tuple[Iterator, int, int, int | None]:
     """Fixed-shape feed for a FASTA/FASTQ file with auto batch/width.
 
@@ -588,17 +590,20 @@ def file_batch_feed(path: str, fmt: str, k: int, batch: int | None,
             est_windows = int(wins * scale)
         break
     width = width or 256
+    width_multiple = max(16, width_multiple)
+    # wire format packs 16 bases per word; sharded consumers need the
+    # word axis to split cleanly (width_multiple = 16 * seq)
+    width = -(-width // width_multiple) * width_multiple
+    while width <= k - 1:
+        width += width_multiple
     if not batch:
-        batch = auto_batch(width, k)
+        batch = auto_batch(width, k, target_windows)
         if est_windows is not None:
             # small files must not pay a full-size batch of padding: a
             # 600-read file in one 512k-row batch would sort 71M mostly
             # -invalid window slots
             need_rows = est_windows // max(width - k + 1, 1) + 1
             batch = min(batch, max(4096, 1 << int(need_rows).bit_length()))
-    width = -(-width // 16) * 16  # wire format packs 16 bases per word
-    while width <= k - 1:
-        width += 16
 
     def gen():
         buf_w: list[np.ndarray] = []
@@ -682,9 +687,9 @@ def column_batch_feed(seqs, k: int, batch: int | None = None,
 
 
 # single-shot ceiling in window SLOTS: buffers + count-sort operands at
-# this size are ~2.5 GB HBM transient — the headline engine's shape
+# this size are ~2.7 GB HBM transient — the headline engine's shape
 # (PERF.md §1 runs it at 136M)
-_SINGLE_SHOT_MAX = 140 * 1000 * 1000
+_SINGLE_SHOT_MAX = 150 * 1000 * 1000
 
 
 @functools.lru_cache(maxsize=64)
@@ -786,7 +791,7 @@ def count_file(
     if single_shot is None:
         single_shot = (
             est_windows is not None
-            and est_windows * 1.2 <= _SINGLE_SHOT_MAX
+            and est_windows * 1.1 <= _SINGLE_SHOT_MAX
             and batch * (width - k + 1) <= _SINGLE_SHOT_MAX
             and not ckpt_path and not spill_dir and not max_capacity
         )
