@@ -420,7 +420,7 @@ def run_distcount(
     # weak #4)
     nu_hist: dict[int, object] = {}
     inflight: deque = deque()
-    feeder = _Feeder(feed, start_batch, depth=3)
+    feeder = _Feeder(feed, start_batch, depth=3, combine=False)
     feeder.start()
 
     def _feed_items():

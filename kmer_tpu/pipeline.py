@@ -75,12 +75,11 @@ def _make_fold_step(k: int, canonical: bool, width: int):
     from .ops.extract import extract_windows_batch
     from .ops.wide import fold_windows_into_wide
 
-    def step(acc: WideCounts, state, words, lengths):
+    def step(acc: WideCounts, state, combo):
+        words = combo[:, :-1]
+        lengths = combo[:, -1].astype(jnp.int32)  # last wire column
         codes = device_unpack_rows(words, width)
-        # wire lengths ride as uint16 (rows never exceed the row width);
-        # extraction wants int32
-        wins, valid = extract_windows_batch(
-            codes, jnp.asarray(lengths).astype(jnp.int32), k)
+        wins, valid = extract_windows_batch(codes, lengths, k)
         hi, lo = wins.hi, wins.lo
         if canonical:
             hi, lo = canon(hi, lo, k)
@@ -99,6 +98,18 @@ def _make_fold_step(k: int, canonical: bool, width: int):
     return jax.jit(step)
 
 
+def _combine(words: np.ndarray, lengths) -> np.ndarray:
+    """One wire array per batch: [B, W/16 + 1] uint32 with the row
+    lengths riding in the last column — this environment's host link
+    charges ~0.2s fixed per transfer RPC (PERF.md §7 item 2), so a
+    separate lengths upload per batch cost more than its bytes."""
+    b, nw = words.shape
+    combo = np.empty((b, nw + 1), np.uint32)
+    combo[:, :nw] = words
+    combo[:, nw] = np.asarray(lengths).astype(np.uint32)
+    return combo
+
+
 class _Feeder(threading.Thread):
     """Producer: pulls (codes [B, W], lengths) host batches, packs them
     to the 2-bit wire format, and queues (idx, words, lengths).
@@ -108,11 +119,13 @@ class _Feeder(threading.Thread):
     their bulk work, and the main loop spends most of its time in
     (GIL-free) runtime RPCs, so the two genuinely overlap."""
 
-    def __init__(self, batches: Iterable, skip: int, depth: int):
+    def __init__(self, batches: Iterable, skip: int, depth: int,
+                 combine: bool = True):
         super().__init__(daemon=True)
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._batches = batches
         self._skip = skip
+        self._combine = combine
 
     def run(self):
         from .native import pack2bit_rows
@@ -124,7 +137,10 @@ class _Feeder(threading.Thread):
                 rows = np.asarray(rows)
                 if rows.dtype != np.uint32:  # raw codes: pack here
                     rows = pack2bit_rows(rows)
-                self.q.put((i, rows, np.asarray(lengths, np.uint16)))
+                if self._combine:
+                    self.q.put((i, _combine(rows, lengths)))
+                else:  # sharded consumers upload words/lengths separately
+                    self.q.put((i, rows, np.asarray(lengths, np.uint16)))
             self.q.put(None)
         except BaseException as e:  # surfaced in the consumer loop
             self.q.put(e)
@@ -300,9 +316,9 @@ class _PipelineRun:
             self.acc = (WideCounts.empty(self.cap) if base_acc is None
                         else pad_wide(_device_wide_like(base_acc), self.cap))
             self.state = self.fresh_state()
-            for _, w, l in todo:
+            for _, combo in todo:
                 self.acc, self.state = self.step(
-                    self.acc, self.state, jnp.asarray(w), jnp.asarray(l))
+                    self.acc, self.state, jnp.asarray(combo))
             s = self.block_state()
             if s[_S_FAIL] == 0:
                 self._confirm_all()
@@ -318,10 +334,10 @@ class _PipelineRun:
         self.spills.spill(base_acc)
         self.acc = WideCounts.empty(self.cap)
         self.state = self.fresh_state()
-        for i, w, l in todo:
+        for i, combo in todo:
             for attempt in (0, 1):
                 self.acc, self.state = self.step(
-                    self.acc, self.state, jnp.asarray(w), jnp.asarray(l))
+                    self.acc, self.state, jnp.asarray(combo))
                 s = self.block_state()
                 if s[_S_FAIL] == 0:
                     break
@@ -390,16 +406,16 @@ class _PipelineRun:
 
     # -- main dispatch --------------------------------------------------
 
-    def dispatch(self, idx: int, words, lengths) -> None:
+    def dispatch(self, idx: int, combo) -> None:
         self.acc, self.state = self.step(
-            self.acc, self.state, jnp.asarray(words), jnp.asarray(lengths))
+            self.acc, self.state, jnp.asarray(combo))
         self.last_idx = idx
-        self.retained.append((idx, words, lengths))
+        self.retained.append((idx, combo))
         self.inflight.append(self.state)
         if (idx - self.start) % self.sample_every == self.sample_every - 1:
             self.samples.append((idx, self.acc, self.state))
         if self.stats is not None:
-            ls = np.asarray(lengths, np.int64)
+            ls = combo[:, -1].astype(np.int64)
             self.stats.record_batch(
                 int((ls > 0).sum()), int(ls.sum()),
                 int(np.maximum(ls - (self.k - 1), 0).sum()), 0)
@@ -472,9 +488,9 @@ def count_batches_pipelined(
             return _finish(run.acc, spills)
         raise ValueError("empty batch stream")
 
-    _, w0, _ = first
-    B, NW = w0.shape
-    width = NW * 16
+    _, c0 = first
+    B, NWp1 = c0.shape
+    width = (NWp1 - 1) * 16
     run.step = _make_fold_step(k, canonical, width)
     run.acc = WideCounts.empty(run.cap)
     if ckpt is not None and ckpt.acc is not None:
@@ -486,11 +502,12 @@ def count_batches_pipelined(
     while item is not None:
         if isinstance(item, BaseException):
             raise item
-        idx, words, lengths = item
-        if words.shape != (B, NW):
+        idx, combo = item
+        if combo.shape != (B, NWp1):
             raise ValueError(
-                f"batch {idx} shape {words.shape} != first batch {(B, NW)}; "
-                "the pipelined path requires one fixed batch shape")
+                f"batch {idx} shape {combo.shape} != first batch "
+                f"{(B, NWp1)}; the pipelined path requires one fixed "
+                "batch shape")
         if ckpt is not None and run.writer is None:
             from .parallel.streaming import AsyncCheckpointer
 
@@ -500,7 +517,7 @@ def count_batches_pipelined(
                 ckpt.batches_done = done
 
             run.writer = AsyncCheckpointer(_write)
-        run.dispatch(idx, words, lengths)
+        run.dispatch(idx, combo)
         item = feeder.q.get()
 
     # final settle: every dispatched batch must be confirmed folded
@@ -700,10 +717,11 @@ def _make_place_step(k: int, canonical: bool, width: int):
     from .ops.extract import canonicalize as canon
     from .ops.extract import extract_windows_batch
 
-    def place(bh, bl, bv, words, lengths, start):
+    def place(bh, bl, bv, combo, start):
+        words = combo[:, :-1]
+        lengths = combo[:, -1].astype(jnp.int32)
         codes = device_unpack_rows(words, width)
-        wins, valid = extract_windows_batch(
-            codes, jnp.asarray(lengths).astype(jnp.int32), k)
+        wins, valid = extract_windows_batch(codes, lengths, k)
         hi, lo = wins.hi, wins.lo
         if canonical:
             hi, lo = canon(hi, lo, k)
@@ -736,9 +754,9 @@ def _count_single_shot(feed, k: int, canonical: bool, batch: int,
                                      static_argnames=("k",))
     dev = []
     for words, lengths in feed:
-        dev.append((jax.device_put(words), jax.device_put(lengths)))
+        dev.append(jax.device_put(_combine(np.asarray(words), lengths)))
         if stats is not None:
-            ls = np.asarray(lengths, np.int64)
+            ls = np.asarray(lengths).astype(np.int64)
             stats.record_batch(int((ls > 0).sum()), int(ls.sum()),
                                int(np.maximum(ls - (k - 1), 0).sum()), 0)
     if not dev:
@@ -749,8 +767,8 @@ def _count_single_shot(feed, k: int, canonical: bool, batch: int,
     bh = jnp.zeros((cap,), jnp.uint32)
     bl = jnp.zeros((cap,), jnp.uint32)
     bv = jnp.zeros((cap,), bool)
-    for i, (dw, dl) in enumerate(dev):
-        bh, bl, bv = place(bh, bl, bv, dw, dl, jnp.int32(i * spb))
+    for i, combo in enumerate(dev):
+        bh, bl, bv = place(bh, bl, bv, combo, jnp.int32(i * spb))
     return _count_windows_jit(bh, bl, bv, k)
 
 

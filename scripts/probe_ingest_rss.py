@@ -59,11 +59,12 @@ def count_subprocess(path: str, chunk_mb: int, k: int = 21,
     if device == "cpu":
         env["KMER_TPU_FORCE_CPU"] = "1"
     t0 = time.perf_counter()
+    # shipped defaults only (VERDICT r4 item #3: the README command must
+    # hit the measured rate without hand-tuned flags)
     proc = subprocess.run(
         [sys.executable, "-m", "kmer_tpu", "count", "--input", path,
-         "-k", str(k), "--canonical", "--batch", "262144",
-         "--chunk-mb", str(chunk_mb), "--slots", str(1 << 24),
-         "--top", "3"],
+         "-k", str(k), "--canonical",
+         "--chunk-mb", str(chunk_mb), "--top", "3"],
         capture_output=True, text=True, env=env, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -109,29 +110,35 @@ def main():
     sz = os.path.getsize(small)
     import jax
 
-    from kmer_tpu.cli import _reads_file_batches
-    from kmer_tpu.streaming import count_read_stream
+    from kmer_tpu.pipeline import count_file
 
     def run_feed(chunk_bytes):
         t0 = time.perf_counter()
-        table = count_read_stream(
-            _reads_file_batches(small, "fastq", 21, batch=262144,
-                                chunk_bytes=chunk_bytes),
-            21, canonical=True, capacity=1 << 21,
-        )
-        jax.block_until_ready(table.counts_lo)
+        table = count_file(small, "fastq", 21, canonical=True,
+                           chunk_bytes=chunk_bytes)
+        jax.block_until_ready(table.counts_lo
+                              if hasattr(table, "counts_lo")
+                              else table.counts)
         return table, time.perf_counter() - t0
 
     print(f"claim ok: {float(jax.numpy.ones(2).sum())}", flush=True)
-    mem_table, mem_s = run_feed(1 << 40)   # whole file in one window
+    run_feed(64 << 20)  # warm the jits outside the timed runs
+    mem_table, mem_s = run_feed(1 << 32)   # whole file in one window
     chk_table, chk_s = run_feed(64 << 20)  # 64 MiB windows
     mt, ct = mem_table.trim(), chk_table.trim()
+
+    def c64(t):
+        return (t.counts64() if hasattr(t, "counts64")
+                else np.asarray(t.counts, np.int64))
+
     assert np.array_equal(np.asarray(mt.hi), np.asarray(ct.hi))
     assert np.array_equal(np.asarray(mt.lo), np.asarray(ct.lo))
-    assert np.array_equal(mt.counts64(), ct.counts64())
+    assert np.array_equal(c64(mt), c64(ct))
+    n_windows = int(c64(ct).sum())
     out["small_file_gb"] = round(sz / 1e9, 3)
     out["in_memory_s"] = round(mem_s, 2)
     out["chunked_s"] = round(chk_s, 2)
+    out["chunked_Mkmers_s"] = round(n_windows / chk_s / 1e6, 2)
     out["chunked_vs_memory_rate"] = round(mem_s / chk_s, 3)
     out["byte_identical"] = True
     print(json.dumps(out), flush=True)

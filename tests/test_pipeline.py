@@ -229,6 +229,46 @@ def test_defaults_pin_measured_knee():
     assert initial_capacity(1 << 24, 21, 10 ** 12) == 1 << 24
 
 
+def test_column_feed_long_rows_split():
+    """A chromosome-length dna row splits into width-capped pieces with
+    k-1 overlap (every window exactly once), like the r3 bucketed feed."""
+    rng = np.random.default_rng(11)
+    k = 9
+    long_row = "".join("acgt"[c] for c in rng.integers(0, 4, 100_000))
+    short = ["".join("acgt"[c] for c in rng.integers(0, 4, 40))
+             for _ in range(50)]
+    seqs = short[:25] + [long_row] + short[25:]
+    oracle = Counter()
+    for s in seqs:
+        for i in range(max(len(s) - k + 1, 0)):
+            oracle[s[i : i + k]] += 1
+    feed, _, width = column_batch_feed(seqs, k, batch=64, width_cap=4096)
+    assert width <= 4096
+    res = count_batches_pipelined(feed, k, capacity=1 << 16, sample_every=2)
+    assert res.to_dict() == dict(oracle)
+
+
+def test_cli_count_from_dna_column(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.datagen import generate_test_rows, rows_to_csv
+
+    csv = str(tmp_path / "t.csv")
+    rows = generate_test_rows(50, seed=5)
+    rows_to_csv(rows, csv)
+    oracle = Counter()
+    for dna, _, _ in rows:
+        s = dna.lower()
+        for i in range(max(len(s) - 4 + 1, 0)):
+            oracle[s[i : i + 4]] += 1
+    rc = main(["count", "--input", csv, "-k", "4", "--from-dna-column"])
+    assert rc == 0
+    got = {}
+    for line in capsys.readouterr().out.strip().splitlines():
+        kmer, cnt = line.split("\t")
+        got[kmer] = int(cnt)
+    assert got == dict(oracle)
+
+
 def test_cli_count_fastq(tmp_path, capsys):
     from kmer_tpu.cli import main
 
