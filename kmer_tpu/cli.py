@@ -656,8 +656,10 @@ def main(argv=None) -> int:
                     help="fixed row width; longer reads split exactly "
                     "(0 = auto from observed read lengths when "
                     "single-process, 256 multi-process)")
-    dc.add_argument("--acc-capacity", type=int, default=1 << 16,
-                    help="per-device accumulator slots")
+    dc.add_argument("--acc-capacity", type=int, default=1 << 22,
+                    help="per-device accumulator slots (default 4M ~ "
+                    "80 MB HBM; overflow is reported honestly — raise "
+                    "this or use --spill-dir for higher cardinality)")
     dc.add_argument("--chunk-mb", type=int, default=0, metavar="MB",
                     help="ingest window size in MiB (default 256)")
     dc.add_argument("--ckpt", default=None, help="checkpoint path stem")

@@ -21,6 +21,7 @@ def main():
     import jax.numpy as jnp
 
     from kmer_tpu.pipeline import (
+        _combine,
         _count_single_shot,
         _make_fold_step,
         _make_place_step,
@@ -44,14 +45,15 @@ def main():
     out["n_batches"] = len(host)
     print(json.dumps(out), flush=True)
 
-    # --- upload only x2 ------------------------------------------------
+    # --- upload only x2 (the real wire: one combined array per batch) --
+    combos = [_combine(np.asarray(w), l) for w, l in host]
     for trial in range(2):
         t0 = time.perf_counter()
-        dev = [(jax.device_put(w), jax.device_put(l)) for w, l in host]
-        for dw, dl in dev:
-            dw.block_until_ready()
+        dev = [jax.device_put(c) for c in combos]
+        for d in dev:
+            d.block_until_ready()
         out[f"upload{trial}_s"] = round(time.perf_counter() - t0, 2)
-    mb = sum(w.nbytes + l.nbytes for w, l in host) / 1e6
+    mb = sum(c.nbytes for c in combos) / 1e6
     out["upload_mb"] = round(mb, 1)
     print(json.dumps({k: out[k] for k in out if "upload" in k}), flush=True)
 
@@ -67,8 +69,8 @@ def main():
         bh = jnp.zeros((cap,), jnp.uint32)
         bl = jnp.zeros((cap,), jnp.uint32)
         bv = jnp.zeros((cap,), bool)
-        for i, (dw, dl) in enumerate(dev):
-            bh, bl, bv = place(bh, bl, bv, dw, dl, jnp.int32(i * spb))
+        for i, d in enumerate(dev):
+            bh, bl, bv = place(bh, bl, bv, d, jnp.int32(i * spb))
         table = cw(bh, bl, bv, K)
         table.counts.block_until_ready()
         out[f"ss_compute{trial}_s"] = round(time.perf_counter() - t0, 2)
@@ -81,13 +83,13 @@ def main():
 
     step = _make_fold_step(K, True, width)
     capw = 1 << 24
-    devb = [(jax.device_put(w), jax.device_put(l)) for w, l in host]
+    devb = [jax.device_put(c) for c in combos]
     for trial in range(2):
         t0 = time.perf_counter()
         acc = WideCounts.empty(capw)
         st = jnp.zeros((3,), jnp.int32)
-        for dw, dl in devb:
-            acc, st = step(acc, st, dw, dl)
+        for d in devb:
+            acc, st = step(acc, st, d)
         jax.block_until_ready(acc.counts_lo)
         out[f"fold_compute{trial}_s"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({k: out[k] for k in out if "fold_" in k}), flush=True)
