@@ -105,15 +105,26 @@ class WideCounts:
             front_ok = bool(live[:n].all()) if n else True
             rest_ok = not bool(live[n:].any())
             if front_ok and rest_ok:
+                # one packed transfer RPC for all five lanes (the host
+                # link charges ~0.2s fixed per transfer; five separate
+                # n-row fetches paid that five times)
+                packed = jnp.stack([
+                    jnp.asarray(self.hi[:n], jnp.uint32),
+                    jnp.asarray(self.lo[:n], jnp.uint32),
+                    jax.lax.bitcast_convert_type(
+                        jnp.asarray(self.length[:n], jnp.int32), jnp.uint32),
+                    jax.lax.bitcast_convert_type(
+                        jnp.asarray(self.counts_hi[:n], jnp.int32),
+                        jnp.uint32),
+                    jnp.asarray(self.counts_lo[:n], jnp.uint32),
+                ])
+                host = np.asarray(jax.device_get(packed), np.uint32)
                 return WideCounts(
-                    hi=np.asarray(jax.device_get(self.hi[:n]), np.uint32),
-                    lo=np.asarray(jax.device_get(self.lo[:n]), np.uint32),
-                    length=np.asarray(jax.device_get(self.length[:n]),
-                                      np.int32),
-                    counts_hi=np.asarray(
-                        jax.device_get(self.counts_hi[:n]), np.int32),
-                    counts_lo=np.asarray(
-                        jax.device_get(self.counts_lo[:n]), np.uint32),
+                    hi=host[0],
+                    lo=host[1],
+                    length=host[2].view(np.int32),
+                    counts_hi=host[3].view(np.int32),
+                    counts_lo=host[4],
                     n_unique=np.int64(n),
                 )
         ch = np.asarray(self.counts_hi)
