@@ -29,6 +29,31 @@ if os.environ.get("KMER_TPU_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI runs.
+
+    A fresh ``kmer_tpu count`` process pays ~40-50s compiling its step
+    graphs; the persistent cache cuts that to seconds (measured 47.7s
+    -> 3.8s through the remote-compile backend, scripts/probe_cache.py).
+    Respects JAX_COMPILATION_CACHE_DIR if set; KMER_TPU_COMPILE_CACHE=0
+    disables; defaults to ~/.cache/kmer_tpu/jax.
+    """
+    d = os.environ.get("KMER_TPU_COMPILE_CACHE")
+    if d == "0":
+        return
+    d = d or os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "kmer_tpu", "jax"
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a failure
+        pass
+
+
 def _cmd_datagen(args) -> int:
     from .io.datagen import generate_test_rows, rows_to_csv
 
@@ -701,6 +726,7 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=_cmd_parity)
 
     args = p.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 
