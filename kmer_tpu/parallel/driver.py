@@ -419,6 +419,7 @@ def run_distcount(
     # runahead, so no blocking device sync on the main loop (VERDICT r4
     # weak #4)
     nu_hist: dict[int, object] = {}
+    ckpt_state = {"last_t": float("-inf")}
     inflight: deque = deque()
     feeder = _Feeder(feed, start_batch, depth=3, combine=False)
     feeder.start()
@@ -454,9 +455,28 @@ def run_distcount(
             else:
                 _time.sleep(0.02)
         if ckpt_writer is not None and done % ckpt_every == 0:
-            payload = snapper.snapshot(acc) if snapper is not None else acc
-            ckpt_writer.submit(payload, done, overflow, list(spill_runs))
-            log.info("rank %d checkpoint %d submitted", pid, done)
+            # Single-process: adaptive cadence (as stream_sharded_count)
+            # — skip an opportunity while the elapsed gap is under
+            # write_cost * (1/0.1 - 1), bounding checkpoint overhead
+            # near 10% however slow the snapshot channel is; the FIRST
+            # opportunity always fires (early kills must lose little).
+            # Multi-process keeps the fixed cadence: ranks must persist
+            # comparable batches_done or every resume trips the desync
+            # guard.
+            take = True
+            if snapper is not None and spill_dir is None:
+                cost = snapper.last_cost_s
+                gap = cost * 9.0
+                if (ckpt_state["last_t"] > float("-inf")
+                        and _time.perf_counter() - ckpt_state["last_t"] < gap):
+                    take = False
+            if take:
+                ckpt_state["last_t"] = _time.perf_counter()
+                payload = (snapper.snapshot(acc) if snapper is not None
+                           else acc)
+                ckpt_writer.submit(payload, done, overflow,
+                                   list(spill_runs))
+                log.info("rank %d checkpoint %d submitted", pid, done)
         if spill_dir is not None:
             # Spill trigger.  Single-process: per-shard live counts from
             # the last completed checkpoint write (skew-sensitive, no
@@ -513,14 +533,24 @@ def run_distcount(
     if done == start_batch and start_batch == 0:
         raise ValueError("empty batch stream")
     ovf = int(overflow)
-    if rank_ckpt:
-        _save_rank(acc, rank_ckpt, {
-            "batches_done": done, "overflow": ovf,
-            "mesh_shape": list(mesh_shape),
-            "process_count": jax.process_count(),
-            "spill_runs": list(spill_runs),
-        })
-    local = local_wide(acc)
+    final_meta = {
+        "batches_done": done, "overflow": ovf,
+        "mesh_shape": list(mesh_shape),
+        "process_count": jax.process_count(),
+        "spill_runs": list(spill_runs),
+    }
+    if rank_ckpt and snapper is not None:
+        # single-process endgame: ONE live-slot packed transfer writes
+        # the final checkpoint, and the local result is rebuilt from
+        # that file — the old path device_got the full-capacity
+        # accumulator TWICE (final _save_rank + local_wide: 2 x 160 MB
+        # at an 8M-slot capacity over this ~15 MB/s link)
+        _write_ckpt(snapper.snapshot(acc), done, ovf, list(spill_runs))
+        local, _ = load_wide(rank_ckpt)
+    else:
+        if rank_ckpt:
+            _save_rank(acc, rank_ckpt, final_meta)
+        local = local_wide(acc)
     out_meta = {
         "k": k, "canonical": canonical, "overflow": ovf,
         "mesh_shape": list(mesh_shape),

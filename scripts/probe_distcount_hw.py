@@ -60,7 +60,9 @@ for f in os.listdir(DIR):
     os.remove(os.path.join(DIR, f))
 
 straight_s = run("straight", f"{DIR}/s.ck", f"{DIR}/s.out")
-run("kill", f"{DIR}/k.ck", f"{DIR}/k.out", kill_after_s=max(40, straight_s * 0.5))
+# land the SIGKILL mid-stream: past the fixed startup/compile head but
+# well before completion (straight runs warm-cached like the kill run)
+run("kill", f"{DIR}/k.ck", f"{DIR}/k.out", kill_after_s=max(30, straight_s * 0.55))
 resume_s = run("resume", f"{DIR}/k.ck", f"{DIR}/k.out")
 
 import numpy as np
