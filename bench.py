@@ -55,12 +55,21 @@ def main() -> int:
             }
         except Exception:
             pass
-    ing_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "INGEST_r04.json")
-    if os.path.exists(ing_path):
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("INGEST_r05.json", "INGEST_r04.json"):  # newest wins
+        ing_path = os.path.join(here, name)
+        if os.path.exists(ing_path):
+            try:
+                with open(ing_path) as f:
+                    detail["out_of_core_ingest"] = json.load(f)
+            except Exception:
+                pass
+            break
+    dc_path = os.path.join(here, "DISTCOUNT_r05.json")
+    if os.path.exists(dc_path):
         try:
-            with open(ing_path) as f:
-                detail["out_of_core_ingest"] = json.load(f)
+            with open(dc_path) as f:
+                detail["distcount"] = json.load(f)
         except Exception:
             pass
     print(json.dumps(result), flush=True)
