@@ -155,6 +155,13 @@ def count_read_stream(
     result is their exact K-way merge — distinct-key cardinality is
     then bounded by host RAM/disk, not HBM (the reference inherits
     hash-agg spill from Postgres; SURVEY §1 L0).
+
+    NOTE: this is the generic any-iterator path (one count + one
+    accumulator re-sort per batch).  The operational file paths route
+    through ``kmer_tpu.pipeline`` instead — fused fold steps, packed
+    single-RPC wire, producer-thread feed — measured ~20x faster end
+    to end (PERF.md §8); prefer ``pipeline.count_batches_pipelined``
+    for fixed-shape batch streams.
     """
     from .ops.wide import WideAccumulator
 
