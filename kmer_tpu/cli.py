@@ -268,7 +268,9 @@ def _cmd_count(args) -> int:
         if isinstance(result, WideCounts):
             from .parallel.streaming import save_wide
 
-            save_wide(result, args.save, meta)
+            # save the already-trimmed host table: a second device
+            # transfer of the same live rows costs ~0.2s/RPC + bytes
+            save_wide(t, args.save, meta)
         else:
             from .utils.checkpoint import save_table
 
