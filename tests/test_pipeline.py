@@ -107,6 +107,35 @@ def _write_fastq(path, rng, n_reads, k, lmin=10, lmax=120):
     return oracle
 
 
+_RC = {"a": "t", "c": "g", "g": "c", "t": "a"}
+
+
+def _canon(s: str) -> str:
+    rc = "".join(_RC[c] for c in reversed(s))
+    return min(s, rc)
+
+
+def test_count_file_canonical_both_routes(tmp_path):
+    """Canonical (min of k-mer and reverse complement) counting — the
+    north-star metric's mode — must match a host oracle on both routes."""
+    rng = np.random.default_rng(12)
+    path = str(tmp_path / "r.fastq")
+    oracle = Counter()
+    k = 9
+    with open(path, "w") as f:
+        for i in range(300):
+            L = int(rng.integers(k, 120))
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+            low = s.lower()
+            for j in range(L - k + 1):
+                oracle[_canon(low[j : j + k])] += 1
+            f.write(f"@r{i}\n{s}\n+\n{'I' * L}\n")
+    for ss in (True, False):
+        res = count_file(path, "fastq", k, canonical=True, batch=64,
+                         capacity=1 << 12, single_shot=ss)
+        assert res.to_dict() == dict(oracle), f"single_shot={ss}"
+
+
 def test_count_file_exact_single_shot(tmp_path):
     rng = np.random.default_rng(4)
     path = str(tmp_path / "r.fastq")
