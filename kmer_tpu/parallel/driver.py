@@ -311,13 +311,20 @@ def run_distcount(
         return local_acc, meta
 
     def _adopt(local_acc, meta):
-        nonlocal acc, start_batch, overflow, spill_runs, resume_meta
+        # record the HOST-side shard only: building the global device
+        # array (make_array_from_process_local_data) has cross-process
+        # effects, so it must run exactly once per rank and only AFTER
+        # the desync negotiation below — a rank that rewinds would
+        # otherwise construct twice and desynchronize the others
+        nonlocal pending_local, start_batch, overflow, spill_runs
+        nonlocal resume_meta
         resume_meta = meta
-        acc = _global_from_local(mesh, local_acc)
+        pending_local = local_acc
         start_batch = int(meta.get("batches_done", 0))
         overflow = jnp.zeros((), jnp.int32) + int(meta.get("overflow", 0))
         spill_runs = list(meta.get("spill_runs", []))
 
+    pending_local = None
     acc = None
     if rank_ckpt:
         # the writer rotates generations (main -> .prev by copy), so at
@@ -354,7 +361,7 @@ def run_distcount(
             if start_batch != m:
                 prev = rank_ckpt + ".prev" if rank_ckpt else None
                 if m == 0 and not spill_runs:
-                    acc, start_batch = None, 0
+                    pending_local, start_batch = None, 0
                     overflow = jnp.zeros((), jnp.int32)
                 elif prev and os.path.exists(prev):
                     pl, pm = _validated_load(prev)
@@ -371,6 +378,8 @@ def run_distcount(
                     f"{all_done.tolist()}; delete ALL rank checkpoints "
                     "(and spill runs) and re-run"
                 )
+    if pending_local is not None:
+        acc = _global_from_local(mesh, pending_local)
     if acc is None:
         acc = empty_sharded_acc(mesh, acc_capacity)
 

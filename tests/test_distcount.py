@@ -221,6 +221,89 @@ class TestTwoProcessIntegration:
         assert merged.to_dict() == dict(want)
 
 
+class TestRankDesyncRecovery:
+    """r4 advisor (medium): async per-rank checkpoint writes can persist
+    different batches_done when a kill lands mid-write; resume must
+    either rewind the ahead rank to its .prev generation or fail
+    UNIFORMLY — never desynchronize the collective program."""
+
+    def _launch(self, tmp_path, pid, port, ck):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["KMER_TPU_FORCE_CPU"] = "1"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        return subprocess.Popen(
+            [sys.executable, "-m", "kmer_tpu", "distcount",
+             "--input", str(tmp_path / f"s{pid}.fasta"),
+             "-k", str(K), "--batch", "32", "--width", "128",
+             "--acc-capacity", "4096", "--ckpt-every", "1",
+             "--ckpt", ck,
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--out", str(tmp_path / "result")],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+
+    def _run_pair(self, tmp_path, ck):
+        port = _free_port()
+        procs = [self._launch(tmp_path, pid, port, ck) for pid in (0, 1)]
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            results.append((p.returncode, out, err))
+        return results
+
+    def test_desync_rewinds_via_prev_generation(self, tmp_path):
+        import shutil
+
+        rng = np.random.default_rng(21)
+        shard0, shard1 = _rand_seqs(128, rng), _rand_seqs(128, rng)
+        _write_fasta(tmp_path / "s0.fasta", shard0)
+        _write_fasta(tmp_path / "s1.fasta", shard1)
+        ck = str(tmp_path / "ck")
+
+        res = self._run_pair(tmp_path, ck)
+        assert all(r[0] == 0 for r in res), res
+        want = merge_rank_files([
+            str(tmp_path / "result.rank0.npz"),
+            str(tmp_path / "result.rank1.npz"),
+        ]).to_dict()
+
+        # simulate a kill inside rank0's final write window: its main
+        # checkpoint is one generation behind rank1's
+        assert os.path.exists(ck + ".rank0.npz.prev")
+        shutil.copyfile(ck + ".rank0.npz.prev", ck + ".rank0.npz")
+
+        res = self._run_pair(tmp_path, ck)
+        assert all(r[0] == 0 for r in res), res
+        merged = merge_rank_files([
+            str(tmp_path / "result.rank0.npz"),
+            str(tmp_path / "result.rank1.npz"),
+        ]).to_dict()
+        assert merged == want  # rank1 rewound to .prev; result exact
+
+    def test_desync_without_prev_fails_uniformly(self, tmp_path):
+        import shutil
+
+        rng = np.random.default_rng(22)
+        shard0, shard1 = _rand_seqs(128, rng), _rand_seqs(128, rng)
+        _write_fasta(tmp_path / "s0.fasta", shard0)
+        _write_fasta(tmp_path / "s1.fasta", shard1)
+        ck = str(tmp_path / "ck")
+        res = self._run_pair(tmp_path, ck)
+        assert all(r[0] == 0 for r in res), res
+
+        shutil.copyfile(ck + ".rank0.npz.prev", ck + ".rank0.npz")
+        os.remove(ck + ".rank0.npz.prev")  # rank0 behind, rank1 has no
+        os.remove(ck + ".rank1.npz.prev")  # matching generation to rewind
+        res = self._run_pair(tmp_path, ck)
+        # BOTH ranks must exit nonzero with the desync error (a
+        # unilateral raise would leave the other hung in the collective)
+        assert all(r[0] != 0 for r in res), res
+        assert any("disagree" in r[1] + r[2] for r in res), res
+
+
 class TestDriverSpill:
     """spill_dir removes the accumulator-overflow failure mode: live
     slots flush to sorted runs and the final table is their exact
