@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    from kmer_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()  # measured 47.7s -> 3.8s per step graph
     import jax
     import jax.numpy as jnp
 
