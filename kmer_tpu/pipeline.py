@@ -466,6 +466,12 @@ def count_batches_pipelined(
             raise ValueError(
                 f"capacity {cap} exceeds max_capacity {max_cap} "
                 "(rounded down to a power of two)")
+        if ckpt is not None and spill_dir is None:
+            # RAM-resident spill runs cannot be persisted in checkpoint
+            # metadata, so a resumed run would silently lose them
+            raise ValueError(
+                "a checkpointed count with a device budget needs "
+                "spill_dir: in-RAM spill runs do not survive a restart")
     spills = _SpillSet(spill_dir)
     start = 0
     if ckpt is not None and ckpt.acc is not None:

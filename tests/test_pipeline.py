@@ -207,6 +207,74 @@ def test_count_file_resume(tmp_path):
     assert res.to_dict() == dict(oracle)
 
 
+def test_ckpt_with_ram_spill_rejected(tmp_path):
+    """--ckpt + --max-slots without --spill-dir would stash spill runs
+    in RAM where a restart cannot recover them: refuse up front."""
+    rng = np.random.default_rng(13)
+    batches, _ = _make_batches(rng, k=8, n_batches=2)
+    with pytest.raises(ValueError, match="spill_dir"):
+        count_batches_pipelined(
+            iter(batches), 8, capacity=16, max_capacity=1024,
+            ckpt=PipelineCheckpoint(str(tmp_path / "ck.npz")))
+
+
+def test_ckpt_spill_resume_carries_runs(tmp_path):
+    """Spill runs recorded in checkpoint metadata survive a resume: a
+    partial spilled run + a resumed completion equals the straight
+    result exactly."""
+    rng = np.random.default_rng(14)
+    path = str(tmp_path / "r.fastq")
+    oracle = _write_fastq(path, rng, 900, 8, lmin=30, lmax=90)
+    sd = str(tmp_path / "runs")
+    ck = str(tmp_path / "ck.npz")
+
+    feed, batch, width, _ = file_batch_feed(path, "fastq", 8, 64, None)
+    all_batches = list(feed)
+    per_batch = max(
+        len(_oracle_windows_packed(b, 8)) for b in all_batches
+    )
+    cap = 1 << int(per_batch).bit_length()
+    assert cap < len(oracle)  # spills must occur
+
+    # partial run over a prefix, checkpointing eagerly
+    count_batches_pipelined(
+        iter(all_batches[: len(all_batches) // 2]), 8, capacity=cap,
+        max_capacity=cap, spill_dir=sd, ckpt=PipelineCheckpoint(ck),
+        ckpt_every_s=0.0, sample_every=2)
+    pc = PipelineCheckpoint(ck)
+    assert pc.batches_done > 0
+
+    # resumed full run must equal the oracle (spilled + live merged)
+    res = count_batches_pipelined(
+        iter(all_batches), 8, capacity=cap, max_capacity=cap,
+        spill_dir=sd, ckpt=PipelineCheckpoint(ck), ckpt_every_s=0.0,
+        sample_every=2)
+    assert res.to_dict() == dict(oracle)
+
+
+def _oracle_windows_packed(b, k):
+    """Distinct keys of one wire batch (words+lens combined or tuple)."""
+    codes, lens = b
+    c = Counter()
+    if codes.dtype == np.uint32:  # packed words
+        from kmer_tpu.native import pack2bit_rows  # noqa: F401
+
+        # unpack on host: 16 bases/word, left-aligned
+        B, NW = codes.shape
+        out = np.zeros((B, NW * 16), np.uint8)
+        for j in range(16):
+            out[:, j::16] = ((codes >> np.uint32(30 - 2 * j)) & 3).astype(
+                np.uint8)
+        rows = out
+    else:
+        rows = codes
+    for r in range(rows.shape[0]):
+        s = "".join(LUT[x] for x in rows[r, : int(lens[r])])
+        for i in range(len(s) - k + 1):
+            c[s[i : i + k]] += 1
+    return {kk for kk in c}
+
+
 def test_rows_packed_matches_fallback():
     from kmer_tpu.native import native_available, pack2bit_rows, rows_packed
     from kmer_tpu.parallel.driver import split_long_reads
