@@ -207,6 +207,25 @@ def test_count_file_resume(tmp_path):
     assert res.to_dict() == dict(oracle)
 
 
+def test_count_file_all_reads_shorter_than_k(tmp_path):
+    """Reads below k contribute no windows; the result is an empty
+    table, not an error (generate_kmers errors on k>len only for the
+    scalar SRF parity form — the bulk path counts zero windows)."""
+    rng = np.random.default_rng(15)
+    path = str(tmp_path / "short.fastq")
+    with open(path, "w") as f:
+        for i in range(50):
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, 3))
+            f.write(f"@r{i}\n{s}\n+\nIII\n")
+    res = count_file(path, "fastq", 9, batch=16, capacity=1 << 10)
+    assert res.to_dict() == {}
+
+
+def test_empty_stream_raises():
+    with pytest.raises(ValueError, match="empty"):
+        count_batches_pipelined(iter([]), 5, capacity=1 << 10)
+
+
 def test_ckpt_with_ram_spill_rejected(tmp_path):
     """--ckpt + --max-slots without --spill-dir would stash spill runs
     in RAM where a restart cannot recover them: refuse up front."""
