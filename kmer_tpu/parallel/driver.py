@@ -243,7 +243,6 @@ def run_distcount(
     # when single-process: each rank probes its OWN shard, and ranks
     # must agree on the collective step's shapes.
     from ..pipeline import _Feeder, file_batch_feed
-    from .mesh import AXIS_SEQ as _AXIS_SEQ  # noqa: F401  (doc pointer)
 
     dp_, sp_ = mesh_shape
     if jax.process_count() > 1:
