@@ -758,11 +758,23 @@ def _count_single_shot(feed, k: int, canonical: bool, batch: int,
     if _count_windows_jit is None:
         _count_windows_jit = jax.jit(count_windows,
                                      static_argnames=("k",))
+    # producer-thread prefetch: without it the parse and the uploads
+    # SERIALIZE (each batch parses, then transfers) — overlapping them
+    # hides the smaller of the two entirely (probe_r5e: feed ~1.3-2.3s
+    # vs upload ~2.6-3.1s on the 313 MB file)
+    feeder = _Feeder(feed, 0, depth=3)
+    feeder.start()
     dev = []
-    for words, lengths in feed:
-        dev.append(jax.device_put(_combine(np.asarray(words), lengths)))
+    while True:
+        item = feeder.q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        _, combo = item
+        dev.append(jax.device_put(combo))
         if stats is not None:
-            ls = np.asarray(lengths).astype(np.int64)
+            ls = combo[:, -1].astype(np.int64)
             stats.record_batch(int((ls > 0).sum()), int(ls.sum()),
                                int(np.maximum(ls - (k - 1), 0).sum()), 0)
     if not dev:
