@@ -67,6 +67,22 @@ def test_pipelined_growth_replay_exact():
     assert res.capacity >= len(oracle)
 
 
+def test_pipelined_proactive_growth_exact():
+    """Capacity comfortably above any single batch's distinct keys but
+    below the cumulative total: growth should happen proactively off
+    the sampled n_unique (and exactly, with or without reverts)."""
+    rng = np.random.default_rng(16)
+    batches, oracle = _make_batches(rng, k=8, n_batches=10, B=48, W=40)
+    per_batch = max(len(_oracle_windows(b[0], b[1], 8)) for b in batches)
+    cap = 1 << int(per_batch * 2).bit_length()
+    assert cap < len(oracle)  # growth must happen across the stream
+    res = count_batches_pipelined(iter(batches), 8, capacity=cap,
+                                  sample_every=1, runahead=2,
+                                  grow_threshold=0.5)
+    assert res.to_dict() == dict(oracle)
+    assert res.capacity > cap
+
+
 def test_pipelined_spill_exact(tmp_path):
     """max_capacity below the distinct-key count spills sorted runs;
     the K-way merge must be exact (both host-RAM and spill-dir runs)."""
