@@ -145,6 +145,8 @@ class KmerTable:
                 [self._deleted, np.zeros(len(rows), bool)]
             )
         self._device_col = None  # cached device column is stale
+        self._dna_key = None  # size-based staleness check is not enough:
+        # a vacuum followed by inserts can restore the previous n_slots
         self._maybe_reindex()
         return len(rows)
 
@@ -166,10 +168,12 @@ class KmerTable:
     def _dna_keys(self) -> np.ndarray:
         """Cached int64 digest per dna row (codes-bytes hash).
 
-        Built once (then maintained incrementally by insert/vacuum), so
-        ``delete_where_dna_eq`` is one vectorized compare + candidate
-        verification instead of a per-row Python ``str`` decode of the
-        whole column per delete (VERDICT r4 weak #5)."""
+        Built lazily and INVALIDATED by insert/vacuum (mutation paths
+        set ``_dna_key = None``; the size check below is only a second
+        line of defense), so ``delete_where_dna_eq`` is one vectorized
+        compare + candidate verification instead of a per-row Python
+        ``str`` decode of the whole column per delete (VERDICT r4 weak
+        #5)."""
         if self._dna_key is None or self._dna_key.size != self.n_slots:
             self._dna_key = np.fromiter(
                 (hash(x.codes.tobytes()) for x in self.dna),
@@ -208,6 +212,7 @@ class KmerTable:
         )
         self._deleted = None
         self._device_col = None
+        self._dna_key = None
         if self._index is not None:
             self.create_index()
 

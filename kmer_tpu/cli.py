@@ -274,7 +274,7 @@ def _cmd_count(args) -> int:
         else:
             from .utils.checkpoint import save_table
 
-            save_table(result, args.save, meta)
+            save_table(t, args.save, meta)  # t: already-trimmed host table
         log.info("saved table to %s", args.save)
     return 0
 
@@ -300,19 +300,27 @@ def _cmd_query(args) -> int:
     return 0
 
 
-def _replay_wal(table, path: str) -> int:
+def _replay_wal(table, path: str) -> tuple[int, int]:
     """Re-apply acknowledged mutations from a write-ahead log.
 
     A torn final line (kill mid-write) stops the replay: a mutation is
     only acknowledged AFTER its fsync'd log entry, so a torn line was
-    never acknowledged and dropping it is correct.
+    never acknowledged and dropping it is correct.  Returns (mutations
+    replayed, byte offset past the last GOOD entry) — the caller MUST
+    truncate the file to that offset before appending, or the next
+    mutation would concatenate onto the torn line and poison every
+    later replay.
     """
     n = 0
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
+    good_end = 0
+    with open(path, "rb") as f:
+        for raw in f:
+            line = raw.decode("utf-8", "replace").strip()
             if not line:
+                good_end += len(raw)
                 continue
+            if not raw.endswith(b"\n"):
+                break  # torn final line (no newline -> fsync not reached)
             try:
                 e = json.loads(line)
             except json.JSONDecodeError:
@@ -325,7 +333,8 @@ def _replay_wal(table, path: str) -> int:
             elif op == "delete_dna":
                 table.delete_where_dna_eq(e["q"])
             n += 1
-    return n
+            good_end += len(raw)
+    return n, good_end
 
 
 def _cmd_serve(args) -> int:
@@ -366,7 +375,14 @@ def _cmd_serve(args) -> int:
     walf = None
     if wal_path:
         if os.path.exists(wal_path):
-            n = _replay_wal(table, wal_path)
+            n, good_end = _replay_wal(table, wal_path)
+            if good_end < os.path.getsize(wal_path):
+                # drop the torn (never-acknowledged) tail BEFORE
+                # appending: concatenating onto it would corrupt the
+                # next entry and silently end every later replay there
+                with open(wal_path, "r+b") as tf:
+                    tf.truncate(good_end)
+                log.info("truncated torn WAL tail at byte %d", good_end)
             log.info("replayed %d WAL mutations from %s", n, wal_path)
         walf = open(wal_path, "a")
 

@@ -150,6 +150,12 @@ def rows_packed(codes: np.ndarray, offsets: np.ndarray, width: int,
     """
     if width % 16 or width <= k - 1:
         raise ValueError(f"width {width} must be a multiple of 16 > k-1")
+    if width > 0xFFFF:
+        # row lengths ride the wire as uint16; a larger width would
+        # silently wrap them and drop windows
+        raise ValueError(f"width {width} exceeds the uint16 row-length "
+                         "bound (65535); long reads split exactly, so "
+                         "smaller widths lose nothing")
     offsets = np.ascontiguousarray(offsets, np.int64)
     codes = np.ascontiguousarray(codes, np.uint8)
     n_reads = offsets.size - 1

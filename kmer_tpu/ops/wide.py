@@ -653,13 +653,13 @@ class WideAccumulator:
             # round DOWN to a power of two: growth always doubles from a
             # power-of-two capacity, so a non-pow2 budget would otherwise
             # be overshot by the post-spill growth loop (the budget is a
-            # device-HBM bound — exceeding it defeats the parameter)
-            max_capacity = 1 << (int(max_capacity).bit_length() - 1)
+            # device-HBM bound — exceeding it defeats the parameter).
+            # The starting capacity clamps to the budget (it rounds UP,
+            # so capacity == max_capacity non-pow2 must not contradict
+            # our own rounding).
+            max_capacity = max(8, 1 << (int(max_capacity).bit_length() - 1))
+            self._cap = min(self._cap, max_capacity)
         self._max_cap = max_capacity
-        if max_capacity is not None and self._cap > max_capacity:
-            raise ValueError(
-                f"capacity {self._cap} exceeds max_capacity {max_capacity}"
-            )
         self._spill_dir = spill_dir
         self._runs: list = []  # host WideCounts or npz paths
 

@@ -526,6 +526,10 @@ def run_distcount(
                 spill_runs.append(run_path)
                 acc = empty_sharded_acc(mesh, acc_capacity)
                 spill_state["max_live"] = 0
+                # pre-reset n_unique history must not re-trigger a
+                # spurious spill of the now-nearly-empty accumulator at
+                # the next boundary (same lagged value, doubled cost)
+                nu_hist.clear()
                 if snapper is not None:
                     snapper.last_max_live = 0
                 log.info("rank %d spilled run %d at batch %d", pid,

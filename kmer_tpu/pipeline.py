@@ -126,24 +126,48 @@ class _Feeder(threading.Thread):
         self._batches = batches
         self._skip = skip
         self._combine = combine
+        self._stop = threading.Event()
+
+    def stop(self) -> None:
+        """Abandon the feed (consumer switched strategy mid-stream)."""
+        self._stop.set()
+        try:  # unblock a producer stuck on a full queue
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run(self):
         from .native import pack2bit_rows
 
         try:
             for i, (rows, lengths) in enumerate(self._batches):
+                if self._stop.is_set():
+                    return
                 if i < self._skip:
                     continue
                 rows = np.asarray(rows)
                 if rows.dtype != np.uint32:  # raw codes: pack here
                     rows = pack2bit_rows(rows)
                 if self._combine:
-                    self.q.put((i, _combine(rows, lengths)))
+                    ok = self._put((i, _combine(rows, lengths)))
                 else:  # sharded consumers upload words/lengths separately
-                    self.q.put((i, rows, np.asarray(lengths, np.uint16)))
-            self.q.put(None)
+                    ok = self._put((i, rows,
+                                    np.asarray(lengths, np.uint16)))
+                if not ok:
+                    return
+            self._put(None)
         except BaseException as e:  # surfaced in the consumer loop
-            self.q.put(e)
+            self._put(e)
 
 
 class _SpillSet:
@@ -216,8 +240,15 @@ class PipelineCheckpoint:
 
 def save_pipeline_ckpt(acc: WideCounts, path: str, batches_done: int,
                        capacity: int, spill_runs: list[str],
-                       k: int, canonical: bool) -> None:
-    """Confirmed-point checkpoint via the live-slot v2 writer."""
+                       k: int, canonical: bool,
+                       batch: int | None = None,
+                       width: int | None = None) -> None:
+    """Confirmed-point checkpoint via the live-slot v2 writer.
+
+    k/canonical/batch/width are recorded so a resume with different
+    flags fails loudly instead of folding mismatched windows (or
+    skipping the wrong number of reads) on top of the accumulator.
+    """
     from .parallel.streaming import save_wide
 
     save_wide(acc, path, {
@@ -226,6 +257,8 @@ def save_pipeline_ckpt(acc: WideCounts, path: str, batches_done: int,
         "spill_runs": spill_runs,
         "k": k,
         "canonical": canonical,
+        "batch": batch,
+        "width": width,
     })
 
 
@@ -461,11 +494,12 @@ def count_batches_pipelined(
     cap = 1 << max(3, int(capacity - 1).bit_length())
     max_cap = None
     if max_capacity is not None and max_capacity:
-        max_cap = 1 << (int(max_capacity).bit_length() - 1)
-        if max_cap < cap:
-            raise ValueError(
-                f"capacity {cap} exceeds max_capacity {max_cap} "
-                "(rounded down to a power of two)")
+        # budget rounds DOWN to a power of two (growth doubles from
+        # pow2); the starting capacity then CLAMPS to it rather than
+        # raising — capacity rounds UP, so e.g. --slots 3M --max-slots
+        # 3M would otherwise be a contradiction of our own rounding
+        max_cap = max(8, 1 << (int(max_capacity).bit_length() - 1))
+        cap = min(cap, max_cap)
         if ckpt is not None and spill_dir is None:
             # RAM-resident spill runs cannot be persisted in checkpoint
             # metadata, so a resumed run would silently lose them
@@ -497,6 +531,16 @@ def count_batches_pipelined(
     _, c0 = first
     B, NWp1 = c0.shape
     width = (NWp1 - 1) * 16
+    if ckpt is not None and ckpt.acc is not None:
+        # a resume with different flags would fold mismatched windows
+        # (or skip the wrong number of reads) on top of the accumulator
+        for name, want in (("k", k), ("canonical", bool(canonical)),
+                           ("batch", B), ("width", width)):
+            have = ckpt.meta.get(name)
+            if have is not None and have != want:
+                raise ValueError(
+                    f"checkpoint {ckpt.path} was written with "
+                    f"{name}={have}; this resume uses {name}={want}")
     run.step = _make_fold_step(k, canonical, width)
     run.acc = WideCounts.empty(run.cap)
     if ckpt is not None and ckpt.acc is not None:
@@ -519,7 +563,8 @@ def count_batches_pipelined(
 
             def _write(acc_ref, done, cap_now, runs_now):
                 save_pipeline_ckpt(acc_ref, ckpt.path, done, cap_now,
-                                   runs_now, k, canonical)
+                                   runs_now, k, canonical,
+                                   batch=B, width=width)
                 ckpt.batches_done = done
 
             run.writer = AsyncCheckpointer(_write)
@@ -533,7 +578,8 @@ def count_batches_pipelined(
         done = run.last_idx + 1
         if done > ckpt.batches_done or ckpt.acc is None:
             save_pipeline_ckpt(run.acc, ckpt.path, done, run.cap,
-                               list(spills.runs), k, canonical)
+                               list(spills.runs), k, canonical,
+                               batch=B, width=width)
             ckpt.batches_done = done
     return _finish(run.acc, spills)
 
@@ -619,6 +665,10 @@ def file_batch_feed(path: str, fmt: str, k: int, batch: int | None,
     width = -(-width // width_multiple) * width_multiple
     while width <= k - 1:
         width += width_multiple
+    if width > 0xFFFF:
+        raise ValueError(
+            f"width {width} exceeds the uint16 row-length bound (65535); "
+            "long reads split exactly, so smaller widths lose nothing")
     if not batch:
         batch = auto_batch(width, k, target_windows)
         if est_windows is not None:
@@ -743,6 +793,11 @@ def _make_place_step(k: int, canonical: bool, width: int):
 _count_windows_jit = None
 
 
+class _SingleShotOverflow(Exception):
+    """The routing estimate undershot: the file's real window count
+    exceeds the single-shot buffer ceiling — take the streaming fold."""
+
+
 def _count_single_shot(feed, k: int, canonical: bool, batch: int,
                        width: int, stats: StatsCounters | None = None):
     """One-count route for files whose windows fit a single device
@@ -764,6 +819,8 @@ def _count_single_shot(feed, k: int, canonical: bool, batch: int,
     # vs upload ~2.6-3.1s on the 313 MB file)
     feeder = _Feeder(feed, 0, depth=3)
     feeder.start()
+    spb = batch * (width - k + 1)
+    ceiling = int(_SINGLE_SHOT_MAX * 1.3)  # routing estimate headroom
     dev = []
     while True:
         item = feeder.q.get()
@@ -771,6 +828,12 @@ def _count_single_shot(feed, k: int, canonical: bool, batch: int,
             break
         if isinstance(item, BaseException):
             raise item
+        if (len(dev) + 1) * spb > ceiling:
+            # the first-chunk extrapolation undershot (e.g. a sparse
+            # file head): allocating past the ceiling risks HBM OOM and
+            # the int32-exactness bound — reroute to the streaming fold
+            feeder.stop()
+            raise _SingleShotOverflow()
         _, combo = item
         dev.append(jax.device_put(combo))
         if stats is not None:
@@ -779,7 +842,6 @@ def _count_single_shot(feed, k: int, canonical: bool, batch: int,
                                int(np.maximum(ls - (k - 1), 0).sum()), 0)
     if not dev:
         raise ValueError("empty batch stream")
-    spb = batch * (width - k + 1)
     cap = len(dev) * spb
     place = _make_place_step(k, canonical, width)
     bh = jnp.zeros((cap,), jnp.uint32)
@@ -832,7 +894,17 @@ def count_file(
             and not ckpt_path and not spill_dir and not max_capacity
         )
     if single_shot:
-        return _count_single_shot(feed, k, canonical, batch, width, stats)
+        try:
+            return _count_single_shot(feed, k, canonical, batch, width,
+                                      stats)
+        except _SingleShotOverflow:
+            # note: stats batches recorded before the abort are counted
+            # again by the streaming rerun (metrics only; counts exact)
+            get_logger().info(
+                "single-shot routing estimate undershot; falling back "
+                "to the streaming fold")
+            feed, batch, width, est_windows = file_batch_feed(
+                path, fmt, k, batch, width, chunk_bytes)
     try:
         fsize = os.path.getsize(path)
         # bases <= file bytes (FASTA ~1x, FASTQ ~0.45x); windows <= bases

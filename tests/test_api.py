@@ -395,6 +395,50 @@ class TestCli:
             p.kill()
             p.wait()
 
+    def test_serve_wal_torn_tail_not_poisoned_by_next_append(self, tmp_path):
+        """A torn tail must be TRUNCATED before new appends: otherwise
+        the next acknowledged mutation concatenates onto the torn JSON
+        and every later replay silently stops there (losing
+        acknowledged mutations — the exact guarantee --wal makes)."""
+        import os
+        import subprocess
+
+        csv = tmp_path / "t.csv"
+        wal = tmp_path / "serve.wal"
+        rows_to_csv(generate_test_rows(5, seed=8), str(csv))
+        wal.write_text(
+            json.dumps({"op": "insert",
+                        "row": ["acgt", "acgt", "acgt"]}) + "\n"
+            + '{"op": "insert", "row": ["tt'  # torn mid-write
+        )
+        env = {**os.environ, "JAX_PLATFORMS": "cpu",
+               "KMER_TPU_FORCE_CPU": "1"}
+        # restart #1: replays the good entry, truncates the torn tail,
+        # then appends a NEW acknowledged mutation
+        q = subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input",
+             str(csv), "--wal", str(wal)],
+            input="COUNT\nINSERT gg,gggg,gggg\nQUIT\n",
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env=env,
+        )
+        assert q.returncode == 0, q.stderr
+        lines = [json.loads(ln) for ln in q.stdout.strip().splitlines()]
+        assert lines[0]["ready"] == 6      # 5 + replayed insert
+        assert lines[2]["inserted"] == 1
+        # restart #2: BOTH acknowledged inserts must replay
+        q2 = subprocess.run(
+            [sys.executable, "-m", "kmer_tpu", "serve", "--input",
+             str(csv), "--wal", str(wal)],
+            input="COUNT\nEQ gggg\nQUIT\n",
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env=env,
+        )
+        assert q2.returncode == 0, q2.stderr
+        lines2 = [json.loads(ln) for ln in q2.stdout.strip().splitlines()]
+        assert lines2[0]["ready"] == 7     # 5 + both inserts
+        assert len(lines2[2]["rows"]) == 1  # the post-truncation insert
+
     def test_serve_wal_torn_tail_dropped(self, tmp_path):
         """A torn (unacknowledged) final WAL line is dropped, complete
         entries before it still replay."""
@@ -420,6 +464,19 @@ class TestCli:
         assert q.returncode == 0, q.stderr
         lines = [json.loads(ln) for ln in q.stdout.strip().splitlines()]
         assert lines[0]["ready"] == 6  # 5 + the one complete insert
+
+    def test_delete_dna_cache_survives_vacuum_insert_same_size(self):
+        """vacuum + inserts restoring the old row count must not leave a
+        stale dna-hash cache (size-only staleness was insufficient)."""
+        t = KmerTable.from_rows([
+            ("acgt", "acgt", "acgt"),
+            ("gg", "gg", "gg"),
+            ("ttt", "ttt", "ttt"),
+        ])
+        assert t.delete_where_dna_eq("gg") == 1  # builds the cache
+        t.vacuum()                               # n_slots 3 -> 2
+        t.insert_rows([("cc", "cc", "cc")])      # n_slots back to 3
+        assert t.delete_where_dna_eq("cc") == 1  # stale cache would miss
 
     def test_selftest_cli(self):
         r = self._run("selftest")

@@ -242,6 +242,41 @@ def test_empty_stream_raises():
         count_batches_pipelined(iter([]), 5, capacity=1 << 10)
 
 
+def test_max_slots_non_pow2_clamps_not_crashes():
+    """A non-power-of-two device budget must clamp the starting
+    capacity, not raise a contradiction of our own rounding."""
+    rng = np.random.default_rng(17)
+    batches, oracle = _make_batches(rng, k=5, n_batches=3)
+    res = count_batches_pipelined(iter(batches), 5, capacity=3_000_000,
+                                  max_capacity=3_000_000, sample_every=2)
+    assert res.to_dict() == dict(oracle)
+    assert res.capacity <= 1 << 21  # clamped to the rounded-down budget
+
+
+def test_resume_flag_mismatch_rejected(tmp_path):
+    """Resuming a checkpoint with different k/batch silently corrupts
+    counts; it must raise instead."""
+    rng = np.random.default_rng(18)
+    batches, _ = _make_batches(rng, k=5, n_batches=4)
+    ck = str(tmp_path / "ck.npz")
+    count_batches_pipelined(
+        iter([(b[0].copy(), b[1].copy()) for b in batches][:2]), 5,
+        capacity=1 << 12, ckpt=PipelineCheckpoint(ck), ckpt_every_s=0.0,
+        sample_every=1)
+    with pytest.raises(ValueError, match="k=5"):
+        count_batches_pipelined(iter(batches), 6, capacity=1 << 12,
+                                ckpt=PipelineCheckpoint(ck))
+
+
+def test_width_beyond_uint16_rejected():
+    from kmer_tpu.native import rows_packed
+
+    codes = np.zeros(10, np.uint8)
+    offs = np.asarray([0, 10], np.int64)
+    with pytest.raises(ValueError, match="65535"):
+        rows_packed(codes, offs, 65536 + 16, 21)
+
+
 def test_ckpt_with_ram_spill_rejected(tmp_path):
     """--ckpt + --max-slots without --spill-dir would stash spill runs
     in RAM where a restart cannot recover them: refuse up front."""
